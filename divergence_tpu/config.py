@@ -1,0 +1,153 @@
+"""Typed configuration for the divergence engines.
+
+The reference spreads its configuration over three tiers (GUI defaults,
+an ``analysisDef`` kwarg string, and compile-time constants — see
+reference tools/FisherExactTestSNPTool.py:118-126,
+tools/ClusterSeparationScore.py:126-138, statistics/css/threadcss.c:19-20,
+statistics/fisher/cFisher.c:62, statistics/css/css.c:76,213).  Here it is
+one set of frozen dataclasses; nothing is compile-time.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import enum
+
+
+class MdsAlgorithm(enum.IntEnum):
+    """Choice of multi-dimensional-scaling algorithm.
+
+    Integer values match the reference protocol
+    (reference statistics/css/css.c:208-218).
+    """
+
+    CMDS = 0          # classical MDS (Torgerson scaling, eigendecomposition)
+    SMACOF = 1        # SMACOF with random restarts
+    CMDS_SMACOF = 2   # CMDS init refined by SMACOF
+
+
+@dataclasses.dataclass(frozen=True)
+class WindowConfig:
+    """Sliding-window geometry.
+
+    Defaults match the reference GUI defaults
+    (reference tools/FisherExactTestSNPTool.py:118-122).
+    """
+
+    wsize: int = 2500   # window size in base pairs
+    wstep: int = 500    # window step in base pairs
+
+    def __post_init__(self) -> None:
+        if self.wsize <= 0 or self.wstep <= 0:
+            raise ValueError("wsize and wstep must be positive")
+        if self.wsize < self.wstep:
+            raise ValueError("wsize must be >= wstep")
+
+    def num_slots(self, regend: int) -> int:
+        """Length of the output score arrays.
+
+        The reference Python adapter allocates ``regend // wstep`` slots and
+        the kernels write window ``w`` at slot ``w.start // wstep``
+        (reference statistics/FisherExactScoreStat.py:51-53,
+        statistics/css/threadcss.c:262).
+        """
+        return max(regend // self.wstep, 0)
+
+    def num_windows(self, regend: int) -> int:
+        """Number of sliding windows actually evaluated.
+
+        The serial reference loop runs while ``start + wsize <= regend +
+        wstep`` (reference statistics/css/css.c:117); window ``k`` starts at
+        ``k * wstep``.
+        """
+        if regend + self.wstep < self.wsize:
+            return 0
+        return (regend + self.wstep - self.wsize) // self.wstep + 1
+
+
+@dataclasses.dataclass(frozen=True)
+class FetConfig:
+    """Fisher's Exact Test windowed scan.
+
+    Defaults are the Burke et al. 2010 protocol used by the reference
+    (reference tools/FisherExactTestSNPTool.py:118-126,
+    statistics/fisher/cFisher.c:62).
+    """
+
+    window: WindowConfig = dataclasses.field(default_factory=WindowConfig)
+    percentile: float = 0.95      # window score = this percentile of -log10(p)
+    bootstrap_samples: int = 100  # replicates for the stddev estimate
+    seed: int = 0                 # deterministic RNG stream (reference is
+                                  # wall-clock seeded; see SURVEY.md §5)
+
+    def __post_init__(self) -> None:
+        if not 0.0 <= self.percentile <= 1.0:
+            raise ValueError("percentile must be in [0, 1]")
+        if self.bootstrap_samples <= 1:
+            raise ValueError("bootstrap_samples must be > 1")
+
+
+@dataclasses.dataclass(frozen=True)
+class SmacofConfig:
+    """SMACOF iteration control (reference statistics/css/css.c:213)."""
+
+    max_iters: int = 300
+    n_init: int = 4
+    epsilon: float = 1e-6
+
+
+@dataclasses.dataclass(frozen=True)
+class CssConfig:
+    """Cluster Separation Score windowed scan.
+
+    Defaults match the reference GUI defaults
+    (reference tools/ClusterSeparationScore.py:126-138).
+    """
+
+    window: WindowConfig = dataclasses.field(default_factory=WindowConfig)
+    mc_threshold: int = 10     # stop the permutation MC after this many hits
+    mc_runs: int = 200_000     # hard cap on permutations per window
+    drosophila: bool = False   # frequency-track mode (2 pseudo-individuals)
+    mds: MdsAlgorithm = MdsAlgorithm.CMDS
+    smacof: SmacofConfig = dataclasses.field(default_factory=SmacofConfig)
+    seed: int = 0
+
+    # Device-side batching knob: permutations are evaluated in fixed-shape
+    # chunks of this size; windows exit the Monte-Carlo loop as soon as the
+    # chunk containing their mc_threshold-th hit completes.
+    mc_chunk: int = 4096
+
+    def __post_init__(self) -> None:
+        if self.mc_threshold <= 0 or self.mc_runs <= 0:
+            raise ValueError("mc_threshold and mc_runs must be positive")
+        if self.mc_chunk <= 0:
+            raise ValueError("mc_chunk must be positive")
+
+
+@dataclasses.dataclass(frozen=True)
+class FetFilterConfig:
+    """Region-calling thresholds for FET score tracks.
+
+    Burke et al. formula: ``median(scores) + qnorm(normquantile) *
+    percentile(stddevs, stddev_percentile)``
+    (reference tools/FilterFisherScores.py:40-48, :84-87).
+    """
+
+    max_distance: int = 100_000       # merge windows closer than this
+    norm_quantile: float = 0.999
+    stddev_percentile: float = 75.0
+
+
+@dataclasses.dataclass(frozen=True)
+class CssRegionConfig:
+    """Region calling for CSS tracks: BH-FDR or top-N
+    (reference tools/SignificantCSSRegions.py:37-50)."""
+
+    mode: str = "fdr"          # "fdr" | "top"
+    fdr: float = 0.05
+    num_top: int = 100
+    window_size: int = 2500    # merge span
+
+    def __post_init__(self) -> None:
+        if self.mode not in ("fdr", "top"):
+            raise ValueError("mode must be 'fdr' or 'top'")

@@ -1,0 +1,80 @@
+"""Bucketing ragged windows into a few static padded shapes.
+
+Window SNP counts vary; XLA wants static shapes.  Windows are grouped into
+power-of-two ``padded_npos`` buckets so that (a) padding waste is bounded by
+2x and (b) the number of distinct compiled shapes stays logarithmic
+(SURVEY.md §7 "hard parts" #1).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+
+@dataclasses.dataclass
+class Bucket:
+    """A group of windows sharing one padded SNP-count shape."""
+
+    padded_npos: int       # static SNP-axis length for this bucket
+    window_ids: np.ndarray  # [Bw] indices into the WindowPlan arrays
+    lo: np.ndarray          # [Bw] first SNP index per window
+    npos: np.ndarray        # [Bw] true SNP count per window
+    slot: np.ndarray        # [Bw] output slot per window
+
+
+def _next_pow2(n: int, floor: int) -> int:
+    p = floor
+    while p < n:
+        p *= 2
+    return p
+
+
+def bucketize(
+    lo: np.ndarray,
+    npos: np.ndarray,
+    slot: np.ndarray,
+    min_pad: int = 32,
+    max_batch: int | None = None,
+) -> list[Bucket]:
+    """Group valid windows (npos > 0) by padded SNP count.
+
+    ``max_batch`` optionally splits a bucket into device-friendly batches so
+    a huge chromosome streams through HBM instead of materializing at once.
+    """
+    valid = np.nonzero(npos > 0)[0]
+    if len(valid) == 0:
+        return []
+    pads = np.array([_next_pow2(int(n), min_pad) for n in npos[valid]])
+    buckets: list[Bucket] = []
+    for pad in np.unique(pads):
+        ids = valid[pads == pad]
+        chunks = [ids]
+        if max_batch is not None and len(ids) > max_batch:
+            chunks = [
+                ids[i : i + max_batch] for i in range(0, len(ids), max_batch)
+            ]
+        for chunk in chunks:
+            buckets.append(
+                Bucket(
+                    padded_npos=int(pad),
+                    window_ids=chunk,
+                    lo=lo[chunk],
+                    npos=npos[chunk],
+                    slot=slot[chunk],
+                )
+            )
+    return buckets
+
+
+def gather_indices(bucket: Bucket) -> tuple[np.ndarray, np.ndarray]:
+    """[Bw, P] SNP-axis gather indices and validity mask for a bucket.
+
+    Out-of-window rows point at index 0 (they are masked out device-side).
+    """
+    P = bucket.padded_npos
+    offs = np.arange(P, dtype=np.int64)[None, :]
+    idx = bucket.lo[:, None] + offs
+    mask = offs < bucket.npos[:, None]
+    return np.where(mask, idx, 0), mask

@@ -1,0 +1,207 @@
+"""GTrack reading/writing.
+
+The whole pipeline's data contract is the "GTrack valued points" SNP matrix
+of the reference: four tab-separated columns ``seqid  start  value
+genomeid`` with one row per (SNP, individual), position-major
+(reference tools/FisherExactTestSNPTool.py:290,
+tools/ClusterSeparationScore.py:302-306, SURVEY.md §1 data model).
+
+Genotype codes: 3 homozygous major, -3 homozygous minor, 0 heterozygous,
+-10000 missing (reference tools/VCFConvert.py:8-17).
+
+The reference relies on the HyperBrowser platform for track storage; here a
+plain file-based reader produces per-chromosome :class:`PopulationTrack`
+arrays directly.  When the native C++ parser (``native/``) is built it is
+used automatically for large files; this module is the portable fallback
+and the semantics definition.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from pathlib import Path
+from typing import Iterable
+
+import numpy as np
+
+
+@dataclasses.dataclass
+class PopulationTrack:
+    """One population's SNP rows for one chromosome.
+
+    Arrays are flattened position-major exactly like the reference kernels
+    expect: element ``vals[k*size + i]`` is individual ``i`` at SNP ``k``
+    (reference css.c:291, cFisher.c:212-216)."""
+
+    seqid: str
+    pos: np.ndarray    # [n] int64, each position repeated `size` times
+    vals: np.ndarray   # [n] float64 genotype codes
+    size: int          # number of individuals
+
+    @property
+    def npos(self) -> int:
+        return len(self.pos) // self.size if self.size else 0
+
+    def values_matrix(self) -> np.ndarray:
+        """[npos, size] genotype matrix."""
+        return self.vals[: self.npos * self.size].reshape(self.npos, self.size)
+
+    def positions_unique(self) -> np.ndarray:
+        """[npos] unique positions."""
+        return self.pos[:: self.size] if self.size else self.pos
+
+
+def _infer_population_size(pos: np.ndarray) -> int:
+    """Run length of the first position (reference comparative.c:25-34)."""
+    if len(pos) == 0:
+        return 0
+    n = int(np.argmax(pos != pos[0]))
+    return n if n > 0 else len(pos)
+
+
+def read_gtrack_points(
+    path: str | Path,
+    seqids: Iterable[str] | None = None,
+) -> dict[str, PopulationTrack]:
+    """Read a GTrack valued-points file into per-chromosome tracks.
+
+    Lines starting with ``#`` are headers/comments (the reference C test
+    harness skips a fixed 5-line header, testcss.c:213-219; we accept any
+    number of ``#`` lines anywhere).
+    """
+    path = Path(path)
+    try:
+        from divergence_tpu.native import parse_gtrack_native
+
+        parsed = parse_gtrack_native(path)
+        if parsed is not None:
+            return _group_rows(*parsed, seqids=seqids)
+    except ImportError:
+        pass
+
+    seq_list: list[str] = []
+    pos_list: list[int] = []
+    val_list: list[float] = []
+    with open(path, "r") as fh:
+        for line in fh:
+            line = line.strip()
+            if not line or line.startswith("#"):
+                continue
+            cols = line.split("\t")
+            if len(cols) < 3:
+                cols = line.split()
+            seq_list.append(cols[0])
+            pos_list.append(int(cols[1]))
+            val_list.append(float(cols[2]))
+    seq = np.asarray(seq_list)
+    pos = np.asarray(pos_list, dtype=np.int64)
+    vals = np.asarray(val_list, dtype=np.float64)
+    return _group_rows(seq, pos, vals, seqids=seqids)
+
+
+def _group_rows(
+    seq: np.ndarray,
+    pos: np.ndarray,
+    vals: np.ndarray,
+    seqids: Iterable[str] | None = None,
+) -> dict[str, PopulationTrack]:
+    tracks: dict[str, PopulationTrack] = {}
+    wanted = set(seqids) if seqids is not None else None
+    for seqid in np.unique(seq) if len(seq) else []:
+        if wanted is not None and seqid not in wanted:
+            continue
+        mask = seq == seqid
+        p = pos[mask]
+        v = vals[mask]
+        # stable sort by position, preserving individual order per position
+        order = np.argsort(p, kind="stable")
+        p = p[order]
+        v = v[order]
+        size = _infer_population_size(p)
+        if size and len(p) % size != 0:
+            raise ValueError(
+                f"{seqid}: row count {len(p)} not a multiple of inferred "
+                f"population size {size}"
+            )
+        tracks[str(seqid)] = PopulationTrack(str(seqid), p, v, size)
+    return tracks
+
+
+def gtrack_points_header(genome: str) -> str:
+    """Valued-points header (reference tools/VCFConvert.py:49-53)."""
+    return (
+        "##gtrack version: 1.0\n"
+        "##track type: valued points\n"
+        "##value type: number\n"
+        "###seqid\tstart\tvalue\tgenomeid\n"
+        f"####genome={genome}\n"
+    )
+
+
+def write_score_track(
+    path: str | Path,
+    results: dict[str, tuple[np.ndarray, np.ndarray]],
+    wstep: int,
+    columns: tuple[str, str] = ("score", "stddev"),
+) -> None:
+    """Write per-window results as the reference tools do: one tab row
+    ``seqid  start  score  aux`` per *nonzero-score* window, start =
+    slot * wstep (reference tools/FisherExactTestSNPTool.py:162-189)."""
+    with open(path, "w") as fh:
+        fh.write(f"#seqid\tstart\t{columns[0]}\t{columns[1]}\n")
+        for seqid, (scores, aux) in results.items():
+            nz = np.nonzero(scores)[0]
+            for i in nz:
+                fh.write(
+                    f"{seqid}\t{i * wstep}\t{float(scores[i])!r}"
+                    f"\t{float(aux[i])!r}\n"
+                )
+
+
+def read_score_track(
+    path: str | Path,
+) -> tuple[list[str], np.ndarray, np.ndarray, np.ndarray]:
+    """Read a score track back: (seqids, starts, col2, col3).
+
+    Mirrors the filter tools' ``preProcessPvalues``
+    (reference tools/FilterFisherScores.py:118-131)."""
+    seqids: list[str] = []
+    starts: list[int] = []
+    c2: list[float] = []
+    c3: list[float] = []
+    with open(path) as fh:
+        for line in fh:
+            line = line.strip()
+            if not line or line.startswith("#"):
+                continue
+            cols = line.split("\t")
+            seqids.append(cols[0])
+            starts.append(int(cols[1]))
+            c2.append(float(cols[2]))
+            c3.append(float(cols[3]) if len(cols) > 3 else 0.0)
+    return (
+        seqids,
+        np.asarray(starts, dtype=np.int64),
+        np.asarray(c2, dtype=np.float64),
+        np.asarray(c3, dtype=np.float64),
+    )
+
+
+def write_segments_track(
+    path: str | Path,
+    segments: list[tuple[str, int, int]],
+    sorted_elements: bool = False,
+) -> None:
+    """Write a GTrack segments file (region-calling output; reference
+    tools/FilterFisherScores.py:75-80)."""
+    with open(path, "w") as fh:
+        fh.write(
+            "##gtrack version: 1.0\n"
+            "##track type: segments\n"
+            "##uninterrupted data lines: true\n"
+            f"##sorted elements: {'true' if sorted_elements else 'false'}\n"
+            "##no overlapping elements: true\n"
+            "###seqid\tstart\tend\n"
+        )
+        for seqid, start, end in segments:
+            fh.write(f"{seqid}\t{start}\t{end}\n")

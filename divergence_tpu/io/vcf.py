@@ -1,0 +1,89 @@
+"""VCF → GTrack valued-points conversion.
+
+Re-provides the reference's converter (tools/VCFConvert.py): diploid
+biallelic GT strings map to genotype codes, one output row per
+(SNP, individual).
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Iterable, TextIO
+
+from divergence_tpu.io.gtrack import gtrack_points_header
+
+# GT-string → genotype code (reference tools/VCFConvert.py:8-17)
+GENOTYPE_CODES: dict[str, int] = {
+    "./.": -10000,
+    ".|.": -10000,
+    "1/0": 0,
+    "0/1": 0,
+    "1|0": 0,
+    "0|1": 0,
+    "0/0": 3,
+    "0|0": 3,
+    "1/1": -3,
+    "1|1": -3,
+}
+
+
+def vcf_to_gtrack(
+    vcf_path: str | Path,
+    population: Iterable[str],
+    out_path: str | Path,
+    genome: str = "unknown",
+) -> list[str]:
+    """Convert a VCF to a GTrack valued-points file for one population.
+
+    Returns the list of population members actually found in the VCF header
+    (missing names are dropped with a warning, matching
+    reference tools/VCFConvert.py:55-68).
+    """
+    population = list(population)
+    with open(vcf_path) as fh, open(out_path, "w") as out:
+        out.write(gtrack_points_header(genome))
+        found = _convert_stream(fh, population, out)
+    return found
+
+
+def _convert_stream(fh: TextIO, population: list[str], out: TextIO) -> list[str]:
+    header: list[str] | None = None
+    chromidx = posidx = formatidx = -1
+    gtidx = -1
+    popidx: list[int] = []
+    found: list[str] = []
+
+    for line in fh:
+        line = line.rstrip("\n")
+        if not line:
+            continue
+        if header is None:
+            if line.startswith("#CHROM"):
+                header = line.split("\t")
+                chromidx = header.index("#CHROM")
+                posidx = header.index("POS")
+                formatidx = header.index("FORMAT")
+                for name in population:
+                    try:
+                        popidx.append(header.index(name))
+                        found.append(name)
+                    except ValueError:
+                        print(f"warning: {name} not found in VCF header")
+            continue
+        if line.startswith("#"):
+            continue
+        cols = line.split("\t")
+        if gtidx < 0:
+            gtidx = cols[formatidx].split(":").index("GT")
+        chrom = cols[chromidx]
+        pos = cols[posidx]
+        for idx, name in zip(popidx, found):
+            gt = cols[idx].split(":")[gtidx]
+            code = GENOTYPE_CODES.get(gt)
+            if code is None:
+                # non-biallelic / half-missing calls are treated as missing;
+                # the reference would KeyError here (VCFConvert.py:83) —
+                # documented deviation for robustness.
+                code = -10000
+            out.write(f"{chrom}\t{pos}\t{code}\t{name}\n")
+    return found

@@ -1,0 +1,540 @@
+"""NumPy oracle of the reference semantics (CPU, serial).
+
+Every function here restates — in independent NumPy/Python code — the exact
+math of the reference C kernels, so the TPU kernels can be parity-tested
+against a bit-careful CPU ground truth:
+
+* FET:  reference statistics/fisher/cFisher.c
+        (fetcount :208-238, fet :405-455, fet_p :473-483,
+         percentile :136-144, calc_std :590-597)
+* CSS:  reference statistics/css/css.c
+        (compare_all :277-327, compare_freq :245-264, fill_averages :337-366,
+         cmds :505-560, calc_dist :573-587, css :608-647,
+         significance_treshold :727-752, smacof :907-938,
+         smacof_runs :852-884)
+* Windowing: reference statistics/css/comparative.c (slide_right :49-71)
+  and the driver loops (css.c :117-136, cFisher.c :81-99).
+
+Known deliberate deviations (documented, all RNG-stream-only):
+
+* RNG: the reference seeds ``nrand48``/``drand48`` from wall-clock time
+  (css.c:112-115), so its own bootstrap/permutation/SMACOF outputs are not
+  reproducible run-to-run.  The oracle uses a seeded ``numpy.random
+  .Generator``; deterministic quantities (FET window scores, CSS scores
+  under CMDS) are bit-comparable, stochastic ones (bootstrap stddev,
+  permutation p, SMACOF inits) are statistically comparable.
+* ``binomial`` overflow: the reference returns 0 on unavoidable unsigned
+  overflow (cFisher.c:268-273), corrupting p-values for huge tables.  The
+  oracle uses exact Python integers; for the panel sizes this code targets
+  (tables with n <= a few hundred) the two agree exactly.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+# ---------------------------------------------------------------------------
+# Window planning (reference comparative.c:49-71 + driver loops)
+# ---------------------------------------------------------------------------
+
+
+def window_starts(regend: int, wsize: int, wstep: int) -> np.ndarray:
+    """Start positions of every evaluated sliding window.
+
+    The reference loop runs ``while (start + wsize <= regend + wstep)``
+    with ``start`` stepping by ``wstep`` from 0 (css.c:117-135)."""
+    if regend + wstep < wsize:
+        return np.zeros(0, dtype=np.int64)
+    n = (regend + wstep - wsize) // wstep + 1
+    return np.arange(n, dtype=np.int64) * wstep
+
+
+def window_bounds(pos: np.ndarray, start: int, stop: int) -> tuple[int, int]:
+    """Row-index range [lo, hi) of SNP rows with start <= pos <= stop.
+
+    Matches ``slide_right`` (comparative.c:49-71): the left pointer skips
+    positions < start, the right pointer includes positions <= stop."""
+    lo = int(np.searchsorted(pos, start, side="left"))
+    hi = int(np.searchsorted(pos, stop, side="right"))
+    return lo, hi
+
+
+def population_size(pos: np.ndarray) -> int:
+    """Run length of the first position (comparative.c:25-34)."""
+    if len(pos) == 0:
+        return 0
+    size = 1
+    while size < len(pos) and pos[size] == pos[0]:
+        size += 1
+    return size
+
+
+# ---------------------------------------------------------------------------
+# FET
+# ---------------------------------------------------------------------------
+
+
+def fet_count(avals: np.ndarray, bvals: np.ndarray) -> tuple[int, int, int, int]:
+    """2x2 allele table for one SNP (cFisher.c:208-238).
+
+    ``avals``/``bvals`` are the genotype codes of all individuals of each
+    group at this SNP; only homozygous-major (3) and homozygous-minor (-3)
+    individuals are counted."""
+    f0 = int(np.sum(avals == 3))
+    f1 = int(np.sum(avals == -3))
+    f2 = int(np.sum(bvals == 3))
+    f3 = int(np.sum(bvals == -3))
+    return f0, f1, f2, f3
+
+
+def _binom(n: int, k: int) -> int:
+    if k < 0 or k > n:
+        return 0
+    return math.comb(n, k)
+
+
+def fet_point_prob(a: int, b: int, c: int, d: int) -> float:
+    """Hypergeometric point probability of one table (cFisher.c:473-483).
+
+    Computed with exact integer binomials, then one float division — the
+    same rounding pattern as the reference's (non-overflowing) path."""
+    nom = _binom(a + b, a) * _binom(c + d, c)
+    denom = _binom(a + b + c + d, a + c)
+    if denom == 0:
+        return math.nan
+    return float(nom) / float(denom)
+
+
+def _shift_table(f: list[int]) -> list[int]:
+    """Rotate the table in clockwise order so the minimum cell leads
+    (cFisher.c:327-346).  ``min`` ties resolve to the first index, like the
+    reference's ``min_idx``."""
+    cw = [f[0], f[1], f[3], f[2]]
+    idx = cw.index(min(cw))
+    rot = [cw[(idx + i) % 4] for i in range(4)]
+    return [rot[0], rot[1], rot[3], rot[2]]
+
+
+def fet_two_tailed(f0: int, f1: int, f2: int, f3: int) -> float:
+    """Two-tailed Fisher exact p via the Feldman-Klinger/Zar short cut
+    (cFisher.c:405-455), including the P > 1 clamp.
+
+    The oracle walks the same recurrences as the reference so that borderline
+    strict-inequality decisions (``P2 < P0``) agree bit-for-bit."""
+    R1, R2 = f0 + f1, f2 + f3
+    C1, C2 = f0 + f2, f1 + f3
+
+    f = _shift_table([f0, f1, f2, f3])
+    a, b, c, d = f
+
+    p0 = fet_point_prob(a, b, c, d)
+    total = p0
+    p1 = p0
+    # first tail: walk the minimum cell down to zero
+    while a > 0:
+        b += 1
+        c += 1
+        p1 = (1.0 * a * d) / (b * c) * p1
+        total += p1
+        a -= 1
+        d -= 1
+
+    if R1 == R2 or C1 == C2:
+        total = 2.0 * total
+    else:
+        # second tail: from the most extreme opposite table, walk inward
+        # while strictly more extreme than the observed table.  NB: the
+        # reference builds the extreme from the table state left behind by
+        # the first-tail walk (f mutated in place, cFisher.c:422-436) — the
+        # margins are the same, but the branch taken in create_table
+        # depends on the walked-to cells.
+        f = _create_opposite_extreme([a, b, c, d])
+        f = _shift_table(f)
+        a, b, c, d = f
+        p2 = fet_point_prob(a, b, c, d)
+        while p2 < p0:
+            total += p2
+            if b == 0 or c == 0:
+                break
+            a += 1
+            d += 1
+            p2 = (1.0 * b * c) / (a * d) * p2
+            b -= 1
+            c -= 1
+
+    return min(total, 1.0)
+
+
+def _create_opposite_extreme(f: list[int]) -> list[int]:
+    """Most extreme table of the second tail (cFisher.c:357-390)."""
+    R1, R2 = f[0] + f[1], f[2] + f[3]
+    C1, C2 = f[0] + f[2], f[1] + f[3]
+    margins = [R1, R2, C1, C2]
+    m1 = min(margins)
+    g = list(f)
+    if R1 <= R2 and C1 <= C2:
+        g[0] = m1 - f[0]
+        g[1] = R1 - g[0]
+        g[2] = C1 - g[0]
+        g[3] = C2 - g[1]
+    elif R1 <= R2 and C2 <= C1:
+        g[1] = m1 - f[1]
+        g[0] = R1 - g[1]
+        g[3] = C2 - g[1]
+        g[2] = C1 - g[0]
+    elif R1 >= R2 and C1 <= C2:
+        g[2] = m1 - f[2]
+        g[0] = C1 - g[2]
+        g[3] = R2 - g[2]
+        g[1] = R1 - g[0]
+    else:
+        g[3] = m1 - f[3]
+        g[1] = C2 - g[3]
+        g[2] = R2 - g[3]
+        g[0] = R1 - g[1]
+    return g
+
+
+def percentile_interp(values: np.ndarray, perc: float) -> float:
+    """Linear-interpolated percentile over a sorted copy (cFisher.c:136-144).
+
+    ``idx`` truncates like the C int cast; the out-of-range ``idx+1`` read
+    the C code performs when ``idx == n-1`` is multiplied by ``delta == 0``,
+    so clamping is value-identical."""
+    s = np.sort(np.asarray(values, dtype=np.float64))
+    n = len(s)
+    x = (n - 1) * perc
+    idx = int(x)
+    delta = x - idx
+    hi = min(idx + 1, n - 1)
+    return float((1.0 - delta) * s[idx] + delta * s[hi])
+
+
+def window_fet(
+    avals: np.ndarray,
+    bvals: np.ndarray,
+    perc: float,
+    nsamples: int,
+    rng: np.random.Generator | None = None,
+) -> tuple[float, float, np.ndarray]:
+    """FET score + bootstrap stddev for one window (cFisher.c:170-195).
+
+    ``avals``: [npos, asize], ``bvals``: [npos, bsize] genotype codes.
+    Returns (percentile score, bootstrap stddev, per-SNP -log10(p))."""
+    npos = avals.shape[0]
+    logs = np.empty(npos, dtype=np.float64)
+    for k in range(npos):
+        f = fet_count(avals[k], bvals[k])
+        logs[k] = -math.log10(fet_two_tailed(*f))
+    score = percentile_interp(logs, perc)
+    if rng is None:
+        rng = np.random.default_rng(0)
+    reps = np.empty(nsamples, dtype=np.float64)
+    for i in range(nsamples):
+        sample = logs[rng.integers(0, npos, size=npos)]
+        reps[i] = percentile_interp(sample, perc)
+    # population stddev (divides by n), like cFisher.c:492-503
+    stddev = float(np.sqrt(np.mean((reps - reps.mean()) ** 2)))
+    return score, stddev, logs
+
+
+def compute_fet(
+    avals: np.ndarray,
+    bvals: np.ndarray,
+    apos: np.ndarray,
+    bpos: np.ndarray,
+    regend: int,
+    wsize: int,
+    wstep: int,
+    perc: float = 0.95,
+    nsamples: int = 100,
+    seed: int = 0,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Whole-chromosome serial FET scan (cFisher.c:38-115).
+
+    Inputs are the flattened position-major arrays of the reference data
+    model; outputs are dense score/stddev arrays of ``regend // wstep``
+    slots, window w at slot ``w.start // wstep``."""
+    asize = population_size(apos)
+    bsize = population_size(bpos)
+    nslots = regend // wstep
+    scores = np.zeros(nslots, dtype=np.float64)
+    stddev = np.zeros(nslots, dtype=np.float64)
+    rng = np.random.default_rng(seed)
+    for start in window_starts(regend, wsize, wstep):
+        lo, hi = window_bounds(apos, int(start), int(start) + wsize)
+        blo, bhi = window_bounds(bpos, int(start), int(start) + wsize)
+        npos = (hi - lo) // asize
+        if npos <= 0:
+            continue
+        aw = avals[lo : lo + npos * asize].reshape(npos, asize)
+        bw = bvals[blo : blo + npos * bsize].reshape(npos, bsize)
+        slot = int(start) // wstep
+        if slot >= nslots:
+            continue
+        s, d, _ = window_fet(aw, bw, perc, nsamples, rng)
+        scores[slot] = s
+        stddev[slot] = d
+    return scores, stddev
+
+
+# ---------------------------------------------------------------------------
+# CSS
+# ---------------------------------------------------------------------------
+
+
+def compare_all(
+    avals: np.ndarray, bvals: np.ndarray
+) -> np.ndarray:
+    """Pairwise genotype-mismatch counts for all individuals
+    (css.c:277-327).
+
+    A pair of individuals mismatches at a SNP iff one is homozygous major
+    (3) and the other homozygous minor (-3) — i.e. the value product is -9.
+    ``avals``: [npos, asize], ``bvals``: [npos, bsize].  Returns the
+    [m, m] dissimilarity with a zero diagonal."""
+    v = np.concatenate([avals, bvals], axis=1)  # [npos, m]
+    maj = (v == 3).astype(np.float64)
+    mnr = (v == -3).astype(np.float64)
+    d = maj.T @ mnr
+    return d + d.T
+
+
+def compare_freq(avals: np.ndarray, bvals: np.ndarray) -> np.ndarray:
+    """Drosophila frequency-track metric (css.c:245-264): mean absolute
+    frequency difference, as a 2x2 dissimilarity."""
+    avg = float(np.mean(np.abs(avals.ravel() - bvals.ravel())))
+    return np.array([[0.0, avg], [avg, 0.0]])
+
+
+def fill_averages(dis: np.ndarray) -> np.ndarray | None:
+    """Replace near-zero cells by the global average (css.c:337-366).
+
+    Quirks faithfully preserved: the average divides by all m^2 cells
+    (including the zero diagonal), the diagonal itself gets overwritten with
+    the average, and the window is discarded (None) when more than
+    ``m*m // 2`` cells are near-zero."""
+    m = dis.shape[0]
+    unvalued = dis < 0.00001
+    total = m * m
+    avg = float(dis[~unvalued].sum()) / total
+    if int(unvalued.sum()) > total // 2:
+        return None
+    out = dis.copy()
+    out[unvalued] = avg
+    return out
+
+
+def cmds(dis: np.ndarray, dims: int = 2) -> np.ndarray:
+    """Classical MDS / Torgerson scaling (css.c:505-560).
+
+    Double-centers the squared dissimilarities and keeps the top ``dims``
+    eigenpairs; X = Q sqrt(L).  A negative retained eigenvalue produces NaN
+    coordinates exactly like the reference's ``sqrt``."""
+    m = dis.shape[0]
+    b = dis * dis
+    z = np.eye(m) - np.ones((m, m)) / m
+    b = -0.5 * (z @ b @ z)
+    w, v = np.linalg.eigh(b)  # ascending
+    top = w[::-1][:dims]
+    vecs = v[:, ::-1][:, :dims]
+    with np.errstate(invalid="ignore"):
+        return vecs * np.sqrt(top)[None, :]
+
+
+def calc_dist(x: np.ndarray) -> np.ndarray:
+    """Pairwise Euclidean distances of the embedded points
+    (css.c:573-587)."""
+    diff = x[:, None, :] - x[None, :, :]
+    return np.sqrt((diff * diff).sum(-1))
+
+
+def css_score(
+    dist: np.ndarray, atracks: np.ndarray, btracks: np.ndarray
+) -> float:
+    """Cluster separation score (css.c:608-647).
+
+    Between-group mean distance minus ``(a+b)`` times the two within-group
+    adjacent-chain terms.  Note the within terms sum *consecutive pairs in
+    track order* — under permutations this depends on the order, not just
+    the partition."""
+    a, b = len(atracks), len(btracks)
+    bet = dist[np.ix_(atracks, btracks)].sum() / (a * b)
+    a_dist = 0.0
+    if a > 1:
+        a_dist = dist[atracks[:-1], atracks[1:]].sum() / (a * a * (a - 1))
+    b_dist = 0.0
+    if b > 1:
+        b_dist = dist[btracks[:-1], btracks[1:]].sum() / (b * b * (b - 1))
+    return float(bet - (a + b) * (a_dist + b_dist))
+
+
+def significance(
+    dist: np.ndarray,
+    asize: int,
+    bsize: int,
+    score: float,
+    threshold: int,
+    runs: int,
+    rng: np.random.Generator,
+) -> float:
+    """Monte-Carlo permutation p-value (css.c:727-752).
+
+    Stops at ``threshold`` hits or ``runs`` permutations; the estimator is
+    ``(hits+1)/(n+1)``.  RNG stream differs from the (wall-clock-seeded)
+    reference by design."""
+    m = asize + bsize
+    tracks = np.arange(m)
+    hits = 0
+    n = 0
+    while hits < threshold and n < runs:
+        rng.shuffle(tracks)
+        new = css_score(dist, tracks[:asize], tracks[asize:])
+        if new >= score:
+            hits += 1
+        n += 1
+    return (hits + 1) / (n + 1)
+
+
+def _stress(dis: np.ndarray, d: np.ndarray) -> float:
+    """Raw stress over i<j pairs (css.c:767-777)."""
+    iu = np.tril_indices(dis.shape[0], k=-1)
+    diff = d[iu] - dis[iu]
+    return float((diff * diff).sum())
+
+
+def _guttman(x_prev: np.ndarray, d: np.ndarray, dis: np.ndarray) -> np.ndarray:
+    """One Guttman transform step (css.c:811-836)."""
+    m = dis.shape[0]
+    with np.errstate(divide="ignore", invalid="ignore"):
+        b = np.where(d < 0.00001, 0.0, -dis / d)
+    np.fill_diagonal(b, 0.0)
+    np.fill_diagonal(b, -b.sum(axis=1))
+    return (b @ x_prev) / m
+
+
+def smacof(
+    dis: np.ndarray,
+    x0: np.ndarray,
+    max_iters: int = 300,
+    epsilon: float = 1e-6,
+) -> tuple[np.ndarray, float]:
+    """SMACOF majorization loop (css.c:907-938).
+
+    Returns the final configuration and its stress.  Loop protocol matches
+    the reference: the first iteration is unconditional, afterwards iterate
+    while the stress improvement exceeds ``epsilon`` and ``k <= max_iters``
+    (so up to ``max_iters + 1`` transforms)."""
+    x = x0.copy()
+    d = calc_dist(x)
+    sigma = _stress(dis, d)
+    sigma_prev = 0.0
+    k = 0
+    while k == 0 or (sigma_prev - sigma > epsilon and k <= max_iters):
+        sigma_prev = sigma
+        k += 1
+        x = _guttman(x, d, dis)
+        d = calc_dist(x)
+        sigma = _stress(dis, d)
+    return x, sigma
+
+
+def smacof_runs(
+    dis: np.ndarray,
+    rng: np.random.Generator,
+    max_iters: int = 300,
+    n_init: int = 4,
+    epsilon: float = 1e-6,
+) -> np.ndarray:
+    """SMACOF with random restarts, best-of-N by stress (css.c:852-884)."""
+    m = dis.shape[0]
+    best_x = None
+    best_sigma = math.inf
+    for _ in range(n_init):
+        x0 = rng.random((m, 2))
+        x, sigma = smacof(dis, x0, max_iters, epsilon)
+        if sigma < best_sigma:
+            best_sigma = sigma
+            best_x = x
+    return best_x
+
+
+def window_css(
+    avals: np.ndarray,
+    bvals: np.ndarray,
+    drosophila: bool = False,
+    mds: int = 0,
+    rng: np.random.Generator | None = None,
+    smacof_max_iters: int = 300,
+    smacof_n_init: int = 4,
+    smacof_eps: float = 1e-6,
+) -> tuple[float, np.ndarray | None]:
+    """CSS for one window: dissimilarity -> fill averages -> MDS -> score
+    (css.c:181-223).  Returns (score, distance matrix) or (-1, None) when
+    the window is discarded."""
+    if drosophila:
+        dis = compare_freq(avals, bvals)
+        asize = bsize = 1
+    else:
+        dis = compare_all(avals, bvals)
+        asize, bsize = avals.shape[1], bvals.shape[1]
+    filled = fill_averages(dis)
+    if filled is None:
+        return -1.0, None
+    if rng is None:
+        rng = np.random.default_rng(0)
+    if mds == 0:
+        x = cmds(filled)
+    elif mds == 1:
+        x = smacof_runs(filled, rng, smacof_max_iters, smacof_n_init, smacof_eps)
+    else:
+        x = cmds(filled)
+        x, _ = smacof(filled, x, smacof_max_iters, smacof_eps)
+    dist = calc_dist(x)
+    m = asize + bsize
+    score = css_score(dist, np.arange(asize), np.arange(asize, m))
+    return score, dist
+
+
+def compute_css(
+    avals: np.ndarray,
+    bvals: np.ndarray,
+    apos: np.ndarray,
+    bpos: np.ndarray,
+    regend: int,
+    wsize: int,
+    wstep: int,
+    threshold: int = 10,
+    runs: int = 200_000,
+    drosophila: bool = False,
+    mds: int = 0,
+    seed: int = 0,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Whole-chromosome serial CSS scan (css.c:49-156)."""
+    asize = population_size(apos)
+    bsize = population_size(bpos)
+    nslots = regend // wstep
+    scores = np.zeros(nslots, dtype=np.float64)
+    pvals = np.zeros(nslots, dtype=np.float64)
+    rng = np.random.default_rng(seed)
+    for start in window_starts(regend, wsize, wstep):
+        lo, hi = window_bounds(apos, int(start), int(start) + wsize)
+        blo, bhi = window_bounds(bpos, int(start), int(start) + wsize)
+        npos = (hi - lo) // asize
+        if npos <= 0:
+            continue
+        slot = int(start) // wstep
+        if slot >= nslots:
+            continue
+        aw = avals[lo : lo + npos * asize].reshape(npos, asize)
+        bw = bvals[blo : blo + npos * bsize].reshape(npos, bsize)
+        score, dist = window_css(aw, bw, drosophila, mds, rng)
+        if dist is None:
+            continue
+        scores[slot] = score
+        pvals[slot] = significance(
+            dist, asize, bsize, score, threshold, runs, rng
+        )
+    return scores, pvals

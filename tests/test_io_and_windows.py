@@ -1,0 +1,107 @@
+"""IO round-trips and window-planning tests."""
+
+import numpy as np
+import pytest
+
+from divergence_tpu.core import plan_windows, bucketize
+from divergence_tpu.core.batching import gather_indices
+from divergence_tpu.io import (
+    read_gtrack_points,
+    write_score_track,
+    read_score_track,
+    vcf_to_gtrack,
+)
+from divergence_tpu.io.gtrack import gtrack_points_header
+from divergence_tpu.oracle import reference as orc
+
+
+VCF_SAMPLE = """\
+##fileformat=VCFv4.1
+#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\tind1\tind2\tind3
+chrI\t100\t.\tA\tT\t50\tPASS\t.\tGT:DP\t0/0:12\t1/1:9\t0/1:7
+chrI\t250\t.\tG\tC\t50\tPASS\t.\tGT:DP\t./.:0\t0|0:11\t1|1:8
+chrII\t40\t.\tC\tA\t50\tPASS\t.\tGT:DP\t1/0:5\t0/0:9\t0/0:10
+"""
+
+
+def test_vcf_roundtrip(tmp_path):
+    vcf = tmp_path / "in.vcf"
+    vcf.write_text(VCF_SAMPLE)
+    out = tmp_path / "out.gtrack"
+    found = vcf_to_gtrack(vcf, ["ind1", "ind2", "ind3", "ghost"], out, "test")
+    assert found == ["ind1", "ind2", "ind3"]
+
+    tracks = read_gtrack_points(out)
+    assert set(tracks) == {"chrI", "chrII"}
+    t = tracks["chrI"]
+    assert t.size == 3
+    assert t.npos == 2
+    # genotype code map (reference tools/VCFConvert.py:8-17)
+    np.testing.assert_array_equal(
+        t.values_matrix(), [[3, -3, 0], [-10000, 3, -3]]
+    )
+    np.testing.assert_array_equal(t.positions_unique(), [100, 250])
+
+
+def test_gtrack_population_size_inference(tmp_path):
+    p = tmp_path / "t.gtrack"
+    rows = ["chr1\t%d\t%d\tind%d" % (pos, v, i)
+            for pos, v in [(10, 3), (20, -3), (30, 0)]
+            for i, v in [(0, v), (1, -v if v else 0)]]
+    p.write_text(gtrack_points_header("g") + "\n".join(rows) + "\n")
+    t = read_gtrack_points(p)["chr1"]
+    assert t.size == 2
+    assert t.npos == 3
+
+
+def test_score_track_roundtrip(tmp_path):
+    scores = np.array([0.0, 1.5, 0.0, 2.5])
+    stddev = np.array([0.0, 0.1, 0.0, 0.2])
+    f = tmp_path / "scores.tsv"
+    write_score_track(f, {"chrI": (scores, stddev)}, wstep=500)
+    seqids, starts, s, d = read_score_track(f)
+    # zero-score windows are skipped (FisherExactTestSNPTool.py:182-187)
+    assert seqids == ["chrI", "chrI"]
+    np.testing.assert_array_equal(starts, [500, 1500])
+    np.testing.assert_allclose(s, [1.5, 2.5])
+    np.testing.assert_allclose(d, [0.1, 0.2])
+
+
+def test_plan_windows_matches_oracle():
+    rng = np.random.default_rng(0)
+    positions = np.sort(rng.choice(10_000, 300, replace=False))
+    regend, wsize, wstep = 9_000, 2500, 500
+    plan = plan_windows(positions, regend, wsize, wstep)
+    starts = orc.window_starts(regend, wsize, wstep)
+    np.testing.assert_array_equal(plan.starts, starts)
+    for w, start in enumerate(starts):
+        lo, hi = orc.window_bounds(positions, int(start), int(start) + wsize)
+        assert plan.lo[w] == lo
+        assert plan.npos[w] == hi - lo
+        assert plan.slot[w] == start // wstep
+    assert plan.nslots == regend // wstep
+
+
+def test_bucketize_covers_all_valid_windows():
+    lo = np.array([0, 5, 9, 40, 80, 120])
+    npos = np.array([10, 0, 33, 64, 65, 3])
+    slot = np.arange(6)
+    buckets = bucketize(lo, npos, slot, min_pad=16, max_batch=2)
+    seen = np.concatenate([b.window_ids for b in buckets])
+    assert sorted(seen) == [0, 2, 3, 4, 5]
+    for b in buckets:
+        assert (npos[b.window_ids] <= b.padded_npos).all()
+        assert b.padded_npos <= max(2 * npos[b.window_ids].max(), 16)
+        idx, mask = gather_indices(b)
+        assert idx.shape == (len(b.window_ids), b.padded_npos)
+        assert (mask.sum(1) == npos[b.window_ids]).all()
+
+
+def test_num_windows_threaded_quirk():
+    # threadcss.c:60 computes regend/wstep - 3 for the default geometry;
+    # our definition agrees whenever wstep divides regend
+    from divergence_tpu.config import WindowConfig
+
+    w = WindowConfig(wsize=2500, wstep=500)
+    assert w.num_windows(10_000) == 10_000 // 500 - 3
+    assert w.num_slots(10_000) == 20
