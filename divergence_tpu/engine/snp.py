@@ -1,0 +1,75 @@
+"""Aligned two-population SNP pair — the engines' input contract.
+
+The reference keeps two flattened position-major arrays per group and
+assumes their position sets are identical (the kernels index group B's
+window with group A's SNP count, cFisher.c:85-92).  Here the alignment is
+*verified* at construction and the matrices are kept 2-D.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+from divergence_tpu.io.gtrack import PopulationTrack
+
+
+@dataclasses.dataclass
+class SnpPair:
+    """Aligned SNP matrices for two populations on one chromosome."""
+
+    positions: np.ndarray  # [npos] unique sorted positions
+    avals: np.ndarray      # [npos, asize] genotype codes
+    bvals: np.ndarray      # [npos, bsize]
+
+    @property
+    def asize(self) -> int:
+        return self.avals.shape[1]
+
+    @property
+    def bsize(self) -> int:
+        return self.bvals.shape[1]
+
+    @property
+    def npos(self) -> int:
+        return len(self.positions)
+
+    @classmethod
+    def from_tracks(cls, a: PopulationTrack, b: PopulationTrack) -> "SnpPair":
+        pa = a.positions_unique()
+        pb = b.positions_unique()
+        if len(pa) != len(pb) or not np.array_equal(pa, pb):
+            raise ValueError(
+                f"{a.seqid}: population position sets differ "
+                f"({len(pa)} vs {len(pb)} SNPs); the divergence statistics "
+                "require both groups called at the same SNPs"
+            )
+        return cls(
+            positions=pa,
+            avals=a.values_matrix(),
+            bvals=b.values_matrix(),
+        )
+
+    @classmethod
+    def from_flat(
+        cls,
+        avals: np.ndarray,
+        bvals: np.ndarray,
+        apos: np.ndarray,
+        bpos: np.ndarray,
+        asize: int,
+        bsize: int,
+    ) -> "SnpPair":
+        """From the reference's flattened arrays (test/oracle interop)."""
+        na = len(avals) // asize
+        nb = len(bvals) // bsize
+        pa = np.asarray(apos)[: na * asize : asize]
+        pb = np.asarray(bpos)[: nb * bsize : bsize]
+        if not np.array_equal(pa, pb):
+            raise ValueError("population position sets differ")
+        return cls(
+            positions=pa,
+            avals=np.asarray(avals)[: na * asize].reshape(na, asize),
+            bvals=np.asarray(bvals)[: nb * bsize].reshape(nb, bsize),
+        )

@@ -1,0 +1,276 @@
+"""Batched Cluster-Separation-Score kernel (TPU-native).
+
+Replaces the reference's per-window serial pipeline (css.c:181-223) with
+batched tensor math over all windows of a bucket at once:
+
+* dissimilarity counting (css.c:277-327) — the mismatch predicate
+  ``value product == -9`` factorizes as (v==3) x (v==-3), so the whole
+  m x m pair-count matrix is two one-hot matmuls on the MXU:
+  ``D = Maj^T Mnr + Mnr^T Maj`` (exact integer counts accumulated in f32);
+* fill-averages + discard rule (css.c:337-366), quirks preserved: the
+  average divides by all m^2 cells, the zero diagonal gets filled with the
+  average too, and windows with more than m*m//2 near-zero cells are
+  discarded;
+* classical MDS (css.c:505-560) — double centering plus a *batched Jacobi*
+  top-2 eigensolver (kernels.linalg) instead of one GSL solve per window;
+* SMACOF (css.c:852-938) — fixed-trip-count ``lax.scan`` with per-window
+  convergence freezing, replicating the reference's
+  ``while (k==0 || (sigma_prev - sigma > eps && k <= max_iters))`` loop;
+* CSS score (css.c:608-647) — between-group block mean minus the
+  adjacent-chain within terms.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from divergence_tpu.kernels.linalg import top2_eig
+
+
+def dissimilarity_counts(
+    vals: jnp.ndarray, snp_mask: jnp.ndarray
+) -> jnp.ndarray:
+    """Pairwise genotype-mismatch counts.
+
+    ``vals``: [B, P, m] genotype codes of all m individuals (groups
+    concatenated), ``snp_mask``: [B, P] validity.  Returns [B, m, m] f64
+    counts with zero diagonal (an individual is never both hom-major and
+    hom-minor)."""
+    maj = ((vals == 3) & snp_mask[..., None]).astype(jnp.bfloat16)
+    mnr = ((vals == -3) & snp_mask[..., None]).astype(jnp.bfloat16)
+    d = jax.lax.dot_general(
+        maj,
+        mnr,
+        dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )  # [B, m, m]
+    d = d + jnp.swapaxes(d, -1, -2)
+    return d.astype(jnp.float64)
+
+
+def dissimilarity_freq(
+    avals: jnp.ndarray,
+    bvals: jnp.ndarray,
+    npos: jnp.ndarray,
+    snp_mask: jnp.ndarray,
+) -> jnp.ndarray:
+    """Drosophila frequency metric (css.c:245-264): 2x2 matrix with the
+    mean absolute frequency difference off-diagonal.
+
+    ``avals``/``bvals``: [B, P, 1]."""
+    diff = jnp.abs(avals[..., 0] - bvals[..., 0])
+    avg = jnp.sum(jnp.where(snp_mask, diff, 0.0), axis=-1) / jnp.maximum(
+        npos.astype(jnp.float64), 1
+    )
+    zero = jnp.zeros_like(avg)
+    return jnp.stack(
+        [
+            jnp.stack([zero, avg], axis=-1),
+            jnp.stack([avg, zero], axis=-1),
+        ],
+        axis=-2,
+    )
+
+
+def fill_averages(dis: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Average-fill + discard rule (css.c:337-366).
+
+    Returns (filled [B, m, m], keep [B] bool).  Quirks preserved: the
+    average divides by m^2 (all cells, including the always-zero diagonal)
+    and the diagonal is overwritten with the average; discard when the
+    near-zero count exceeds m*m//2 (C integer division)."""
+    m = dis.shape[-1]
+    unval = dis < 0.00001
+    total = m * m
+    avg = jnp.sum(jnp.where(unval, 0.0, dis), axis=(-1, -2)) / total
+    n_unval = jnp.sum(unval, axis=(-1, -2))
+    keep = n_unval <= total // 2
+    filled = jnp.where(unval, avg[..., None, None], dis)
+    return filled, keep
+
+
+def cmds(dis: jnp.ndarray) -> jnp.ndarray:
+    """Classical MDS to 2 dimensions (css.c:505-560).
+
+    Double-centers the squared dissimilarities (B = -1/2 J D2 J, expressed
+    as row/col/grand mean subtraction) and keeps the top-2 eigenpairs;
+    X = Q sqrt(L).  A negative retained eigenvalue yields NaN coordinates
+    exactly like the reference's sqrt."""
+    d2 = dis * dis
+    row = jnp.mean(d2, axis=-1, keepdims=True)
+    col = jnp.mean(d2, axis=-2, keepdims=True)
+    grand = jnp.mean(d2, axis=(-1, -2), keepdims=True)
+    b = -0.5 * (d2 - row - col + grand)
+    vals, vecs = top2_eig(b)                     # [B, 2], [B, m, 2]
+    # zero out numerical dust so a true-zero second eigenvalue doesn't
+    # turn into sqrt(-1e-15) = NaN; genuinely negative eigenvalues still
+    # produce NaN exactly like the reference's sqrt (css.c:557-559).
+    scale = jnp.maximum(jnp.abs(vals[..., :1]), 1.0)
+    vals = jnp.where(
+        (vals < 0) & (vals > -1e-9 * scale), 0.0, vals
+    )
+    return vecs * jnp.sqrt(vals)[..., None, :]
+
+
+def calc_dist(x: jnp.ndarray) -> jnp.ndarray:
+    """Pairwise Euclidean distances of the embedding (css.c:573-587).
+    ``x``: [B, m, 2] -> [B, m, m]."""
+    diff = x[..., :, None, :] - x[..., None, :, :]
+    return jnp.sqrt(jnp.sum(diff * diff, axis=-1))
+
+
+def chain_weights(asize: int, bsize: int) -> jnp.ndarray:
+    """Static [m-1] weights of the within-group adjacent-chain terms in
+    track order (css.c:627-642): 1/(a^2(a-1)) for the a-chain,
+    1/(b^2(b-1)) for the b-chain, 0 at the group boundary and for
+    singleton groups."""
+    import numpy as np
+
+    m = asize + bsize
+    w = np.zeros(m - 1)
+    if asize > 1:
+        w[: asize - 1] = 1.0 / (asize * asize * (asize - 1))
+    if bsize > 1:
+        w[asize:] = 1.0 / (bsize * bsize * (bsize - 1))
+    return jnp.asarray(w)
+
+
+def css_from_dist(
+    dist: jnp.ndarray, asize: int, bsize: int
+) -> jnp.ndarray:
+    """CSS with identity track order (css.c:608-647).
+
+    score = mean(between-block) - (a+b) * (a-chain + b-chain)."""
+    m = asize + bsize
+    bet = jnp.mean(dist[..., :asize, asize:], axis=(-1, -2))
+    diag1 = jnp.diagonal(dist, offset=1, axis1=-2, axis2=-1)  # [B, m-1]
+    chain = jnp.sum(diag1 * chain_weights(asize, bsize), axis=-1)
+    return bet - m * chain
+
+
+def _stress(dis: jnp.ndarray, d: jnp.ndarray) -> jnp.ndarray:
+    """Raw stress over unordered pairs (css.c:767-777): the full matrix
+    double-counts every pair, so halve it; the diagonal is zero in both."""
+    diff = d - dis
+    return 0.5 * jnp.sum(diff * diff, axis=(-1, -2))
+
+
+def _guttman(
+    x: jnp.ndarray, d: jnp.ndarray, dis: jnp.ndarray
+) -> jnp.ndarray:
+    """One Guttman transform (css.c:811-836): X' = B(Z) Z / m."""
+    m = dis.shape[-1]
+    off = ~jnp.eye(m, dtype=bool)
+    b = jnp.where(off & (d >= 0.00001), -dis / jnp.where(d == 0, 1.0, d), 0.0)
+    rowsum = jnp.sum(b, axis=-1)
+    b = b - rowsum[..., None] * jnp.eye(m, dtype=b.dtype)
+    return (b @ x) / m
+
+
+@functools.partial(jax.jit, static_argnames=("max_iters",))
+def smacof(
+    dis: jnp.ndarray,
+    x0: jnp.ndarray,
+    max_iters: int = 300,
+    epsilon: float = 1e-6,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Batched SMACOF (css.c:907-938).
+
+    ``dis``: [..., m, m], ``x0``: [..., m, 2].  Runs the reference's loop
+    protocol — first transform unconditional, then continue while the
+    stress improvement exceeds epsilon and k <= max_iters (so up to
+    max_iters + 1 transforms) — as a fixed-length scan with per-element
+    freezing.  Returns (x, sigma)."""
+    d0 = calc_dist(x0)
+    sig0 = _stress(dis, d0)
+    active0 = jnp.ones(sig0.shape, dtype=bool)
+
+    def body(carry, _):
+        x, d, sig, active = carry
+        xn = _guttman(x, d, dis)
+        dn = calc_dist(xn)
+        sign = _stress(dis, dn)
+        improved = (sig - sign) > epsilon
+        x = jnp.where(active[..., None, None], xn, x)
+        d = jnp.where(active[..., None, None], dn, d)
+        sig_out = jnp.where(active, sign, sig)
+        return (x, d, sig_out, active & improved), None
+
+    (x, _, sig, _), _ = jax.lax.scan(
+        body, (x0, d0, sig0, active0), None, length=max_iters + 1
+    )
+    return x, sig
+
+
+def smacof_runs(
+    dis: jnp.ndarray,
+    key: jax.Array,
+    n_init: int = 4,
+    max_iters: int = 300,
+    epsilon: float = 1e-6,
+) -> jnp.ndarray:
+    """SMACOF with random restarts, best-of-N by stress (css.c:852-884).
+
+    Inits are uniform [0,1) like the reference's drand48 (different,
+    deterministic stream).  ``dis``: [B, m, m] -> [B, m, 2]."""
+    B, m = dis.shape[0], dis.shape[-1]
+    x0 = jax.random.uniform(key, (n_init, B, m, 2), dtype=dis.dtype)
+    x, sig = smacof(dis[None], x0, max_iters, epsilon)   # [I, B, ...]
+    best = jnp.argmin(sig, axis=0)                       # [B]
+    return jnp.take_along_axis(
+        x, best[None, :, None, None], axis=0
+    )[0]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("asize", "bsize", "drosophila", "mds",
+                              "smacof_iters", "smacof_inits")
+)
+def css_window_batch(
+    avals: jnp.ndarray,    # [B, P, asize]
+    bvals: jnp.ndarray,    # [B, P, bsize]
+    npos: jnp.ndarray,     # [B]
+    key: jax.Array,
+    asize: int,
+    bsize: int,
+    drosophila: bool = False,
+    mds: int = 0,
+    smacof_iters: int = 300,
+    smacof_inits: int = 4,
+    smacof_eps: float = 1e-6,
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """CSS scores for one padded bucket of windows.
+
+    Returns (scores [B], dist [B, m, m], valid [B]).  ``valid`` is False
+    for empty windows and fill-averages discards; their score reports 0
+    and their distance matrix is meaningless (callers skip them).  The
+    drosophila path scores 2 pseudo-individuals on frequency tracks
+    (css.c:245-264, asize == bsize == 1)."""
+    P = avals.shape[1]
+    snp_mask = jnp.arange(P)[None, :] < npos[:, None]
+
+    if drosophila:
+        dis = dissimilarity_freq(avals, bvals, npos, snp_mask)
+        a_sz = b_sz = 1
+    else:
+        vals = jnp.concatenate([avals, bvals], axis=-1)
+        dis = dissimilarity_counts(vals, snp_mask)
+        a_sz, b_sz = asize, bsize
+
+    filled, keep = fill_averages(dis)
+
+    if mds == 0:
+        x = cmds(filled)
+    elif mds == 1:
+        x = smacof_runs(filled, key, smacof_inits, smacof_iters, smacof_eps)
+    else:
+        x0 = cmds(filled)
+        x, _ = smacof(filled, x0, smacof_iters, smacof_eps)
+
+    dist = calc_dist(x)
+    scores = css_from_dist(dist, a_sz, b_sz)
+    valid = keep & (npos > 0)
+    return jnp.where(valid, scores, 0.0), dist, valid

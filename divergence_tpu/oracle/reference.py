@@ -117,12 +117,25 @@ def _shift_table(f: list[int]) -> list[int]:
     return [rot[0], rot[1], rot[3], rot[2]]
 
 
+# Relative tolerance for probability ties on the second tail.  The
+# reference compares `P2 < P0` where P2 came through a multiplicative
+# recurrence (cFisher.c:440-448): for tables whose null distribution is
+# symmetric (shifted R1' == C1') the mirrored observed table ties P0
+# *exactly* in rational arithmetic, and the reference's inclusion decision
+# is decided by accumulated FP rounding — i.e. arbitrary.  This framework
+# defines the deterministic rule "ties are included", which matches
+# scipy.stats.fisher_exact's convention; distinct probabilities of
+# N <= ~40 tables differ by >= 1e-5 relative, so 1e-12 cannot misfire.
+FET_TIE_RTOL = 1e-12
+
+
 def fet_two_tailed(f0: int, f1: int, f2: int, f3: int) -> float:
     """Two-tailed Fisher exact p via the Feldman-Klinger/Zar short cut
     (cFisher.c:405-455), including the P > 1 clamp.
 
-    The oracle walks the same recurrences as the reference so that borderline
-    strict-inequality decisions (``P2 < P0``) agree bit-for-bit."""
+    Deliberate deviation: second-tail probability ties are *included*
+    (see FET_TIE_RTOL above); the reference's own behavior on ties is
+    floating-point-noise-dependent."""
     R1, R2 = f0 + f1, f2 + f3
     C1, C2 = f0 + f2, f1 + f3
 
@@ -154,7 +167,7 @@ def fet_two_tailed(f0: int, f1: int, f2: int, f3: int) -> float:
         f = _shift_table(f)
         a, b, c, d = f
         p2 = fet_point_prob(a, b, c, d)
-        while p2 < p0:
+        while p2 <= p0 * (1.0 + FET_TIE_RTOL):
             total += p2
             if b == 0 or c == 0:
                 break

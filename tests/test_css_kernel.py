@@ -1,0 +1,215 @@
+"""Parity tests: TPU CSS kernels vs the CPU oracle."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from divergence_tpu.kernels import css as kcss
+from divergence_tpu.kernels import perm as kperm
+from divergence_tpu.oracle import reference as orc
+
+
+def _window_batch(rng, B=12, P=64, asize=5, bsize=4):
+    vals = rng.choice([3.0, -3.0, 0.0, -10000.0], size=(B, P, asize + bsize),
+                      p=[0.4, 0.3, 0.2, 0.1])
+    npos = rng.integers(3, P + 1, size=B)
+    mask = np.arange(P)[None, :] < npos[:, None]
+    vals = np.where(mask[..., None], vals, 0.0)
+    return vals, npos
+
+
+def test_dissimilarity_counts_vs_oracle(rng):
+    vals, npos = _window_batch(rng)
+    mask = jnp.arange(vals.shape[1])[None, :] < jnp.asarray(npos)[:, None]
+    got = np.asarray(kcss.dissimilarity_counts(jnp.asarray(vals), mask))
+    for b in range(vals.shape[0]):
+        aw = vals[b, : npos[b], :5]
+        bw = vals[b, : npos[b], 5:]
+        want = orc.compare_all(aw, bw)
+        np.testing.assert_array_equal(got[b], want)
+
+
+def test_fill_averages_vs_oracle(rng):
+    vals, npos = _window_batch(rng)
+    mask = jnp.arange(vals.shape[1])[None, :] < jnp.asarray(npos)[:, None]
+    dis = kcss.dissimilarity_counts(jnp.asarray(vals), mask)
+    filled, keep = kcss.fill_averages(dis)
+    filled, keep = np.asarray(filled), np.asarray(keep)
+    for b in range(vals.shape[0]):
+        want = orc.fill_averages(np.asarray(dis)[b])
+        if want is None:
+            assert not keep[b]
+        else:
+            assert keep[b]
+            np.testing.assert_allclose(filled[b], want, rtol=1e-12)
+
+
+def test_cmds_distance_parity(rng):
+    # random dissimilarity-like symmetric matrices
+    for _ in range(10):
+        m = 9
+        d = rng.random((m, m)) * 5
+        d = (d + d.T) / 2
+        np.fill_diagonal(d, 0)
+        x_orc = orc.cmds(d)
+        x_tpu = np.asarray(kcss.cmds(jnp.asarray(d)[None]))[0]
+        np.testing.assert_allclose(
+            orc.calc_dist(x_tpu), orc.calc_dist(x_orc), rtol=1e-8, atol=1e-10
+        )
+
+
+def test_cmds_golden_fixture():
+    dis = np.array(
+        [[0, 4.05, 8.25, 5.57],
+         [4.05, 0, 2.54, 2.69],
+         [8.25, 2.54, 0, 2.11],
+         [5.57, 2.69, 2.11, 0]])
+    golden_x = np.array(
+        [[4.62, 0.07], [0.09, -1.11], [-3.63, -0.34], [-1.08, 1.38]])
+    x = np.asarray(kcss.cmds(jnp.asarray(dis)[None]))[0]
+    np.testing.assert_allclose(
+        orc.calc_dist(x), orc.calc_dist(golden_x), atol=0.02
+    )
+
+
+def test_css_score_golden():
+    # testcss.c:701-751: 100-point ramp -> 70.5975410337
+    m = 100
+    x = np.add.outer(np.arange(m), np.arange(2)).astype(float)
+    dist = orc.calc_dist(x)
+    got = np.asarray(
+        kcss.css_from_dist(jnp.asarray(dist)[None], 50, 50)
+    )[0]
+    assert got == pytest.approx(70.5975410337, abs=1e-5)
+
+
+def test_smacof_golden_fixture():
+    dis = np.array(
+        [[0, 5, 3, 4], [5, 0, 2, 2], [3, 2, 0, 1], [4, 2, 1, 0]], dtype=float)
+    x0 = np.array(
+        [[-0.266, -0.539], [0.451, 0.252], [0.016, -0.238], [-0.200, 0.524]])
+    x, sigma = kcss.smacof(jnp.asarray(dis)[None], jnp.asarray(x0)[None])
+    golden = np.array(
+        [[-1.457, -2.575], [1.730, 1.23], [-0.028, 0.16], [-0.245, 1.185]])
+    np.testing.assert_allclose(np.asarray(x)[0], golden, atol=0.01)
+    want_x, want_sig = orc.smacof(dis, x0)
+    np.testing.assert_allclose(np.asarray(x)[0], want_x, rtol=1e-9)
+    assert np.asarray(sigma)[0] == pytest.approx(want_sig, rel=1e-9)
+
+
+def test_smacof_batch_freeze_matches_serial(rng):
+    # different windows converge at different iterations; the frozen batch
+    # must equal per-window serial runs
+    B, m = 6, 7
+    dis = rng.random((B, m, m)) * 4
+    dis = (dis + dis.swapaxes(-1, -2)) / 2
+    for b in range(B):
+        np.fill_diagonal(dis[b], 0)
+    x0 = rng.random((B, m, 2))
+    x, sig = kcss.smacof(jnp.asarray(dis), jnp.asarray(x0))
+    for b in range(B):
+        want_x, want_sig = orc.smacof(dis[b], x0[b])
+        np.testing.assert_allclose(np.asarray(x)[b], want_x, rtol=1e-8)
+        assert np.asarray(sig)[b] == pytest.approx(want_sig, rel=1e-8)
+
+
+def test_window_batch_scores_vs_oracle(rng):
+    vals, npos = _window_batch(rng, B=16, P=64)
+    got_s, got_d, got_v = kcss.css_window_batch(
+        jnp.asarray(vals[..., :5]),
+        jnp.asarray(vals[..., 5:]),
+        jnp.asarray(npos),
+        jax.random.PRNGKey(0),
+        asize=5,
+        bsize=4,
+        mds=0,
+    )
+    got_s = np.asarray(got_s)
+    got_v = np.asarray(got_v)
+    got_d = np.asarray(got_d)
+    for b in range(vals.shape[0]):
+        aw = vals[b, : npos[b], :5]
+        bw = vals[b, : npos[b], 5:]
+        score, dist = orc.window_css(aw, bw, mds=0)
+        if dist is None:
+            assert not got_v[b]
+        else:
+            assert got_v[b]
+            assert got_s[b] == pytest.approx(score, rel=1e-8, abs=1e-10)
+            np.testing.assert_allclose(got_d[b], dist, rtol=1e-7, atol=1e-9)
+
+
+def test_drosophila_window_batch(rng):
+    B, P = 4, 32
+    fa = rng.random((B, P, 1))
+    fb = rng.random((B, P, 1))
+    npos = rng.integers(2, P + 1, size=B)
+    mask = np.arange(P)[None, :] < npos[:, None]
+    s, d, v = kcss.css_window_batch(
+        jnp.asarray(np.where(mask[..., None], fa, 0)),
+        jnp.asarray(np.where(mask[..., None], fb, 0)),
+        jnp.asarray(npos),
+        jax.random.PRNGKey(0),
+        asize=1,
+        bsize=1,
+        drosophila=True,
+        mds=0,
+    )
+    for b in range(B):
+        score, dist = orc.window_css(
+            fa[b, : npos[b]], fb[b, : npos[b]], drosophila=True, mds=0
+        )
+        assert np.asarray(v)[b]
+        assert np.asarray(s)[b] == pytest.approx(score, rel=1e-8)
+
+
+def test_permutation_estimator_extremes(rng):
+    # unbeatable score: zero hits -> p = 1/(runs+1); trivially beaten
+    # score: threshold hits at permutation `threshold` -> p = (T+1)/(T+1)
+    B, m = 3, 9
+    x = rng.random((B, m, 2))
+    dist = np.stack([orc.calc_dist(x[b]) for b in range(B)])
+    hi = np.full(B, 1e9)
+    lo = np.full(B, -1e9)
+    res_hi = kperm.significance(
+        dist, hi, 5, 4, threshold=10, runs=1000, key=jax.random.PRNGKey(0),
+        chunk=256,
+    )
+    np.testing.assert_allclose(res_hi.pvals, 1.0 / 1001)
+    assert (res_hi.nscores == 1000).all()
+    res_lo = kperm.significance(
+        dist, lo, 5, 4, threshold=10, runs=1000, key=jax.random.PRNGKey(0),
+        chunk=256,
+    )
+    np.testing.assert_allclose(res_lo.pvals, 1.0)
+    assert (res_lo.nscores == 10).all()
+
+
+def test_permutation_pvalues_statistical(rng):
+    # p-values must agree with the oracle MC within Monte-Carlo error
+    m, asize, bsize = 9, 5, 4
+    x = rng.random((m, 2)) * 2
+    dist = orc.calc_dist(x)
+    score = orc.css_score(dist, np.arange(asize), np.arange(asize, m))
+    res = kperm.significance(
+        dist[None],
+        np.array([score * 0.8]),
+        asize,
+        bsize,
+        threshold=200,
+        runs=20_000,
+        key=jax.random.PRNGKey(1),
+        chunk=2048,
+    )
+    p_orc = orc.significance(
+        dist, asize, bsize, score * 0.8, 200, 20_000,
+        np.random.default_rng(7),
+    )
+    # both estimate the same tail probability
+    p = res.pvals[0]
+    se = np.sqrt(p * (1 - p) / res.nscores[0]) + np.sqrt(
+        p_orc * (1 - p_orc) / 20_000
+    )
+    assert abs(p - p_orc) < 6 * se + 1e-3, (p, p_orc)

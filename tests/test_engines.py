@@ -1,0 +1,86 @@
+"""End-to-end engine parity: run_fet / run_css vs the serial CPU oracle."""
+
+import numpy as np
+import pytest
+
+from divergence_tpu.config import CssConfig, FetConfig, WindowConfig
+from divergence_tpu.engine import run_css, run_fet
+from divergence_tpu.engine.snp import SnpPair
+from divergence_tpu.oracle import reference as orc
+
+
+@pytest.fixture(scope="module")
+def pair(panel):
+    apos, aflat, bpos, bflat, positions, amat, bmat = panel
+    return SnpPair.from_flat(aflat, bflat, apos, bpos, 11, 10)
+
+
+REGEND = 20_000
+WCFG = WindowConfig(wsize=2500, wstep=500)
+
+
+def test_fet_engine_matches_oracle(panel, pair):
+    apos, aflat, bpos, bflat, *_ = panel
+    scores, stddev = run_fet(pair, REGEND, FetConfig(window=WCFG))
+    want_s, want_d = orc.compute_fet(
+        aflat, bflat, apos, bpos, REGEND, WCFG.wsize, WCFG.wstep
+    )
+    np.testing.assert_allclose(scores, want_s, rtol=1e-9, atol=1e-12)
+    # stddev: different RNG stream; same support and magnitude
+    assert ((stddev > 0) == (want_d > 0)).mean() > 0.9
+    both = (stddev > 1e-3) & (want_d > 1e-3)
+    assert np.allclose(stddev[both], want_d[both], rtol=1.5, atol=0.05)
+
+
+def test_css_engine_matches_oracle(panel, pair):
+    apos, aflat, bpos, bflat, *_ = panel
+    cfg = CssConfig(window=WCFG, mc_runs=2000, mc_chunk=512)
+    scores, pvals = run_css(pair, REGEND, cfg)
+    want_s, want_p = orc.compute_css(
+        aflat, bflat, apos, bpos, REGEND, WCFG.wsize, WCFG.wstep,
+        runs=2000,
+    )
+    np.testing.assert_allclose(scores, want_s, rtol=1e-7, atol=1e-9)
+    # p-values: same estimator, independent RNG streams
+    nz = want_s != 0
+    assert (pvals[nz] > 0).all()
+    assert ((pvals == 0) == (want_p == 0)).all()
+    # MC agreement within generous statistical bounds
+    assert np.corrcoef(pvals[nz], want_p[nz])[0, 1] > 0.9
+
+
+def test_css_engine_smacof_runs(pair):
+    cfg = CssConfig(
+        window=WCFG, mds=1, mc_runs=500, mc_chunk=256
+    )
+    scores, pvals = run_css(pair, REGEND, cfg)
+    cfg2 = CssConfig(window=WCFG, mds=2, mc_runs=500, mc_chunk=256)
+    scores2, _ = run_css(pair, REGEND, cfg2)
+    cfg0 = CssConfig(window=WCFG, mds=0, mc_runs=500, mc_chunk=256)
+    scores0, _ = run_css(pair, REGEND, cfg0)
+    nz = scores0 != 0
+    # SMACOF embeddings differ from CMDS but measure the same separation:
+    # scores correlate strongly across MDS back-ends
+    assert (scores[nz] != 0).all()
+    assert np.corrcoef(scores[nz], scores0[nz])[0, 1] > 0.8
+    assert np.corrcoef(scores2[nz], scores0[nz])[0, 1] > 0.8
+
+
+def test_empty_region():
+    pair = SnpPair(
+        positions=np.array([50_000]),
+        avals=np.full((1, 3), 3.0),
+        bvals=np.full((1, 3), 3.0),
+    )
+    s, d = run_fet(pair, 10_000, FetConfig(window=WCFG))
+    assert not s.any() and not d.any()
+    s, p = run_css(pair, 10_000, CssConfig(window=WCFG, mc_runs=100))
+    assert not s.any() and not p.any()
+
+
+def test_misaligned_populations_rejected():
+    with pytest.raises(ValueError, match="position sets differ"):
+        SnpPair.from_flat(
+            np.zeros(6), np.zeros(4), np.array([1, 1, 2, 2, 3, 3]),
+            np.array([1, 1, 4, 4]), 2, 2,
+        )

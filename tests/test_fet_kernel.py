@@ -1,0 +1,124 @@
+"""Parity tests: TPU FET kernel vs the CPU oracle."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from divergence_tpu.kernels import fet as kfet
+from divergence_tpu.oracle import reference as orc
+
+
+def _random_tables(rng, n, hi=12):
+    return rng.integers(0, hi, size=(n, 4)).astype(np.int32)
+
+
+def test_two_tailed_parity_random_tables(rng):
+    tables = _random_tables(rng, 500)
+    nmax = int(tables.sum(1).max()) + 2
+    maxs = nmax // 2 + 2
+    got = np.asarray(kfet.fet_two_tailed(jnp.asarray(tables), maxs, nmax))
+    want = np.array([orc.fet_two_tailed(*map(int, t)) for t in tables])
+    np.testing.assert_allclose(got, want, rtol=1e-10, atol=1e-14)
+
+
+def test_two_tailed_goldens():
+    tables = jnp.asarray(
+        [[2, 7, 8, 2], [2, 3, 6, 4], [2, 2, 3, 3], [1, 3, 2, 3], [0, 0, 0, 0]],
+        dtype=jnp.int32,
+    )
+    got = np.asarray(kfet.fet_two_tailed(tables, maxs=12, nmax=24))
+    np.testing.assert_allclose(
+        got[:4], [0.0230141, 0.6083916, 1.0, 1.0], rtol=1e-5
+    )
+    assert got[4] == 1.0  # all-missing SNP: degenerate table clamps to 1
+
+
+def test_count_tables(rng):
+    avals = rng.choice([3.0, -3.0, 0.0, -10000.0], size=(5, 7, 11))
+    bvals = rng.choice([3.0, -3.0, 0.0, -10000.0], size=(5, 7, 10))
+    got = np.asarray(kfet.count_tables(jnp.asarray(avals), jnp.asarray(bvals)))
+    for w in range(5):
+        for k in range(7):
+            assert tuple(got[w, k]) == orc.fet_count(avals[w, k], bvals[w, k])
+
+
+def _batch_from_windows(windows, P, asize, bsize):
+    B = len(windows)
+    av = np.zeros((B, P, asize))
+    bv = np.zeros((B, P, bsize))
+    npos = np.zeros(B, dtype=np.int64)
+    for i, (aw, bw) in enumerate(windows):
+        n = aw.shape[0]
+        av[i, :n] = aw
+        bv[i, :n] = bw
+        npos[i] = n
+    return av, bv, npos
+
+
+def test_window_scores_match_oracle(rng, panel):
+    apos, aflat, bpos, bflat, positions, amat, bmat = panel
+    asize, bsize = amat.shape[1], bmat.shape[1]
+    wsize, wstep, regend, perc = 2500, 500, 20_000, 0.95
+
+    windows = []
+    oracle_scores = []
+    for start in orc.window_starts(regend, wsize, wstep):
+        lo, hi = orc.window_bounds(positions, int(start), int(start) + wsize)
+        if hi - lo <= 0:
+            continue
+        aw, bw = amat[lo:hi], bmat[lo:hi]
+        windows.append((aw, bw))
+        s, _, _ = orc.window_fet(aw, bw, perc, nsamples=10)
+        oracle_scores.append(s)
+
+    P = int(max(w[0].shape[0] for w in windows))
+    P = 1 << (P - 1).bit_length()
+    av, bv, npos = _batch_from_windows(windows, P, asize, bsize)
+
+    maxs = kfet.support_size(asize, bsize)
+    k = kfet.topk_needed(P, perc)
+    scores, stddev = kfet.fet_window_batch(
+        jnp.asarray(av),
+        jnp.asarray(bv),
+        jnp.asarray(npos),
+        jnp.float64(perc),
+        jax.random.PRNGKey(0),
+        nsamples=100,
+        maxs=maxs,
+        nmax=asize + bsize + 2,
+        k=k,
+    )
+    np.testing.assert_allclose(
+        np.asarray(scores), np.array(oracle_scores), rtol=1e-9, atol=1e-12
+    )
+    # stddev is RNG-stream dependent; assert statistical plausibility:
+    # positive for windows with score dispersion, same order of magnitude
+    # as an oracle rerun.
+    stddev = np.asarray(stddev)
+    assert (stddev >= 0).all()
+    oracle_std = np.array(
+        [
+            orc.window_fet(aw, bw, perc, 100, np.random.default_rng(1))[1]
+            for aw, bw in windows
+        ]
+    )
+    big = oracle_std > 1e-3
+    assert np.allclose(stddev[big], oracle_std[big], rtol=1.0, atol=0.05)
+
+
+def test_percentile_from_topk_matches_oracle(rng):
+    for n in (1, 2, 5, 37, 100):
+        vals = rng.standard_normal(n)
+        for perc in (0.0, 0.5, 0.9, 0.95, 1.0):
+            want = orc.percentile_interp(vals, perc)
+            P = 128
+            padded = np.full(P, -np.inf)
+            padded[:n] = vals
+            k = max(kfet.topk_needed(P, perc), P - int((n - 1) * perc))
+            top = jax.lax.top_k(jnp.asarray(padded), min(k, P))[0]
+            got = kfet._percentile_from_topk(
+                top[None, :], jnp.asarray([n]), jnp.float64(perc)
+            )
+            assert np.asarray(got)[0] == pytest.approx(want, rel=1e-12), (n, perc)
