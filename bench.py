@@ -1,0 +1,125 @@
+"""Benchmark harness: FET engine throughput vs the CPU oracle baseline.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+Protocol (BASELINE.md): the reference publishes no numbers, so the baseline
+is the CPU oracle (exact reference semantics, serial) measured on a slice
+of the same workload and extrapolated.  Workload = the reference default
+FET scan (wsize=2500, wstep=500, perc=0.95, 100 bootstrap replicates,
+stickleback panel 11+10 individuals) on one synthetic chromosome.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def make_chromosome(npos: int, region: int, asize: int, bsize: int, seed: int):
+    rng = np.random.default_rng(seed)
+    positions = np.sort(
+        rng.choice(np.arange(1, region, dtype=np.int64), npos, replace=False)
+    )
+    codes = np.array([3.0, -3.0, 0.0, -10000.0])
+
+    def draw(size):
+        p_major = rng.uniform(0.2, 0.9, size=(npos, 1))
+        g = rng.random((npos, size))
+        het = p_major * (1 - p_major) * 2
+        mat = np.where(
+            g < p_major**2,
+            3.0,
+            np.where(g < p_major**2 + het, 0.0, -3.0),
+        )
+        miss = rng.random((npos, size)) < 0.03
+        return np.where(miss, -10000.0, mat)
+
+    del codes
+    return positions, draw(asize), draw(bsize)
+
+
+def main() -> None:
+    import jax
+
+    import divergence_tpu  # noqa: F401  (x64)
+    from divergence_tpu.config import FetConfig
+    from divergence_tpu.core.windows import plan_windows
+    from divergence_tpu.engine import run_fet
+    from divergence_tpu.engine.snp import SnpPair
+    from divergence_tpu.oracle import reference as oracle
+
+    asize, bsize = 11, 10
+    region = 2_000_000
+    npos = 40_000
+    cfg = FetConfig()
+    w = cfg.window
+
+    positions, amat, bmat = make_chromosome(npos, region, asize, bsize, 7)
+    pair = SnpPair(positions=positions, avals=amat, bvals=bmat)
+    plan = plan_windows(positions, region, w.wsize, w.wstep)
+    valid = plan.valid_mask()
+    # a "SNP FET test" = one per-SNP exact test inside an evaluated window
+    n_tests = int(plan.npos[valid].sum())
+    n_windows = int(valid.sum())
+
+    dev = jax.devices()[0]
+    print(
+        f"[bench] device={dev.platform} windows={n_windows} "
+        f"snp_tests={n_tests}",
+        file=sys.stderr,
+    )
+
+    # --- TPU engine: warmup (compile) + timed run ---
+    run_fet(pair, region, cfg)
+    t0 = time.perf_counter()
+    scores, stddev = run_fet(pair, region, cfg)
+    tpu_s = time.perf_counter() - t0
+    tpu_rate = n_tests / tpu_s
+
+    # --- CPU oracle baseline on a slice, extrapolated ---
+    n_slice = 24
+    widx = np.nonzero(valid)[0][:n_slice]
+    rng = np.random.default_rng(0)
+    slice_tests = 0
+    t0 = time.perf_counter()
+    for i in widx:
+        lo, np_ = int(plan.lo[i]), int(plan.npos[i])
+        oracle.window_fet(
+            amat[lo : lo + np_],
+            bmat[lo : lo + np_],
+            cfg.percentile,
+            cfg.bootstrap_samples,
+            rng,
+        )
+        slice_tests += np_
+    oracle_s = time.perf_counter() - t0
+    oracle_rate = slice_tests / oracle_s
+
+    vs = tpu_rate / oracle_rate
+    print(
+        f"[bench] tpu={tpu_s:.3f}s ({tpu_rate:,.0f} tests/s)  "
+        f"oracle[{n_slice}w]={oracle_s:.3f}s ({oracle_rate:,.0f} tests/s)  "
+        f"speedup={vs:.1f}x  windows/s={n_windows / tpu_s:,.0f}",
+        file=sys.stderr,
+    )
+    nz = int(np.count_nonzero(scores))
+    print(f"[bench] nonzero-score windows: {nz}", file=sys.stderr)
+
+    print(
+        json.dumps(
+            {
+                "metric": "fet_snp_tests_per_sec_chip",
+                "value": round(tpu_rate, 1),
+                "unit": "tests/s",
+                "vs_baseline": round(vs, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -186,7 +186,9 @@ def smacof(
     freezing.  Returns (x, sigma)."""
     d0 = calc_dist(x0)
     sig0 = _stress(dis, d0)
-    active0 = jnp.ones(sig0.shape, dtype=bool)
+    # derived from sig0 (not jnp.ones) so the carry keeps sig0's varying
+    # manual axes under shard_map
+    active0 = sig0 == sig0
 
     def body(carry, _):
         x, d, sig, active = carry

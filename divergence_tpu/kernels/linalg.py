@@ -48,7 +48,9 @@ def jacobi_eigh(
 
     schedule = jnp.asarray(_round_robin_schedule(mp))  # [R, mp/2, 2]
     eye = jnp.eye(mp, dtype=a.dtype)
-    v0 = jnp.broadcast_to(eye, a.shape)
+    # zeros_like (not broadcast_to) so v0 inherits a's varying manual axes
+    # under shard_map — a replicated carry fails the scan vma check
+    v0 = jnp.zeros_like(a) + eye
 
     def one_round(carry, pairs):
         A, V = carry
