@@ -1,0 +1,339 @@
+"""Command-line tools — the framework's user surface.
+
+Replaces the reference's five Galaxy GUI tools + converters (reference
+tools/, SURVEY.md §2.3) with CLI subcommands:
+
+| subcommand        | replaces (reference tools/)            |
+|-------------------|----------------------------------------|
+| convert-vcf       | ConvertVCFToGtrackTool.py + VCFConvert.py |
+| convert-snp-table | ConvertSticklebackSnpsToGtrack.py      |
+| run-fet           | FisherExactTestSNPTool.py              |
+| run-css           | ClusterSeparationScore.py              |
+| filter-fet        | FilterFisherScores.py                  |
+| call-css-regions  | SignificantCSSRegions.py               |
+
+Usage: ``python -m divergence_tpu.tools.cli <subcommand> --help``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def _read_population(args) -> list[str]:
+    """Population members from a file (one per line) or a comma list
+    (reference tools/ConvertVCFToGtrackTool.py:133-141)."""
+    if args.population_file:
+        with open(args.population_file) as fh:
+            return [ln.strip() for ln in fh if ln.strip()]
+    if args.population:
+        return [x.strip() for x in args.population.split(",") if x.strip()]
+    raise SystemExit("one of --population / --population-file is required")
+
+
+def cmd_convert_vcf(args) -> None:
+    from divergence_tpu.io import vcf_to_gtrack
+
+    found = vcf_to_gtrack(
+        args.vcf, _read_population(args), args.out, args.genome
+    )
+    print(f"wrote {args.out}: {len(found)} individuals ({', '.join(found)})")
+
+
+def cmd_convert_snp_table(args) -> None:
+    from divergence_tpu.io.snptable import snp_table_to_gtrack
+
+    ids = [x.strip() for x in args.ids.split(",") if x.strip()]
+    labels = snp_table_to_gtrack(args.table, ids, args.out, args.genome)
+    print(f"wrote {args.out}: {len(labels)} individuals")
+
+
+def _load_pairs(args):
+    """Read both population tracks, align per chromosome, return
+    {seqid: (SnpPair, regend)} plus chromosome lengths if given."""
+    from divergence_tpu.engine.snp import SnpPair
+    from divergence_tpu.io import read_gtrack_points
+    from divergence_tpu.io.genome import read_chrom_sizes
+
+    ta = read_gtrack_points(args.pop_a)
+    tb = read_gtrack_points(args.pop_b)
+    sizes = read_chrom_sizes(args.chrom_sizes) if args.chrom_sizes else {}
+    common = sorted(set(ta) & set(tb))
+    if not common:
+        raise SystemExit("no chromosome appears in both tracks")
+    skipped = sorted(set(ta) ^ set(tb))
+    if skipped:
+        print(f"skipping chromosomes present in only one track: {skipped}")
+    pairs = {}
+    for seqid in common:
+        pair = SnpPair.from_tracks(ta[seqid], tb[seqid])
+        regend = sizes.get(seqid, int(pair.positions[-1]) + 1)
+        pairs[seqid] = (pair, regend)
+    return pairs, sizes
+
+
+def _host_filter(pairs, args):
+    """Multi-host chromosome partitioning (deterministic, no comms)."""
+    if args.num_hosts <= 1:
+        return pairs
+    from divergence_tpu.parallel import partition_chromosomes
+
+    weights = {s: p.npos for s, (p, _) in pairs.items()}
+    assignment = partition_chromosomes(weights, args.num_hosts, args.host_id)
+    print(
+        f"host {args.host_id}/{args.num_hosts} takes "
+        f"{list(assignment.seqids)}"
+    )
+    return {s: pairs[s] for s in assignment.seqids}
+
+
+def _mesh_sharding(args):
+    if not args.shard:
+        return None
+    from divergence_tpu.parallel import make_mesh, window_sharding
+
+    return window_sharding(make_mesh())
+
+
+def cmd_run_fet(args) -> None:
+    from divergence_tpu.config import FetConfig, WindowConfig
+    from divergence_tpu.engine import run_fet
+    from divergence_tpu.io import write_score_track
+    from divergence_tpu.utils.summary import RunSummary
+
+    cfg = FetConfig(
+        window=WindowConfig(wsize=args.wsize, wstep=args.wstep),
+        percentile=args.percentile,
+        bootstrap_samples=args.bootstrap_samples,
+        seed=args.seed,
+    )
+    pairs, _ = _load_pairs(args)
+    pairs = _host_filter(pairs, args)
+    sharding = _mesh_sharding(args)
+    summary = RunSummary(name="run-fet")
+    results = {}
+    t0 = time.perf_counter()
+    for seqid, (pair, regend) in pairs.items():
+        with summary.stage(seqid):
+            results[seqid] = run_fet(
+                pair, regend, cfg, sharding=sharding, summary=summary
+            )
+        print(
+            f"{seqid}: {pair.npos} SNPs, "
+            f"{int((results[seqid][0] != 0).sum())} scored windows"
+        )
+    summary.counters["total_s"] = round(time.perf_counter() - t0, 3)
+    write_score_track(args.out, results, cfg.window.wstep)
+    print(f"wrote {args.out}")
+    if args.summary:
+        summary.write(args.summary)
+
+
+def cmd_run_css(args) -> None:
+    from divergence_tpu.config import CssConfig, MdsAlgorithm, WindowConfig
+    from divergence_tpu.engine import run_css
+    from divergence_tpu.io import write_score_track
+    from divergence_tpu.utils.summary import RunSummary
+
+    mds = {
+        "cmds": MdsAlgorithm.CMDS,
+        "smacof": MdsAlgorithm.SMACOF,
+        "cmds+smacof": MdsAlgorithm.CMDS_SMACOF,
+    }[args.mds]
+    cfg = CssConfig(
+        window=WindowConfig(wsize=args.wsize, wstep=args.wstep),
+        mc_threshold=args.mc_threshold,
+        mc_runs=args.mc_runs,
+        drosophila=args.drosophila,
+        mds=mds,
+        seed=args.seed,
+        mc_chunk=args.mc_chunk,
+    )
+    pairs, _ = _load_pairs(args)
+    pairs = _host_filter(pairs, args)
+    sharding = _mesh_sharding(args)
+    summary = RunSummary(name="run-css")
+    results = {}
+    t0 = time.perf_counter()
+    for seqid, (pair, regend) in pairs.items():
+        with summary.stage(seqid):
+            results[seqid] = run_css(
+                pair, regend, cfg, sharding=sharding, summary=summary
+            )
+        print(
+            f"{seqid}: {pair.npos} SNPs, "
+            f"{int((results[seqid][0] != 0).sum())} scored windows"
+        )
+    summary.counters["total_s"] = round(time.perf_counter() - t0, 3)
+    write_score_track(args.out, results, cfg.window.wstep, columns=("score", "p"))
+    print(f"wrote {args.out}")
+    if args.summary:
+        summary.write(args.summary)
+
+
+def cmd_filter_fet(args) -> None:
+    from divergence_tpu.config import FetFilterConfig
+    from divergence_tpu.io import read_score_track, write_segments_track
+    from divergence_tpu.io.genome import read_chrom_sizes
+    from divergence_tpu.stats import filter_fet_regions
+
+    seqids, starts, scores, stddevs = read_score_track(args.scores)
+    sizes = read_chrom_sizes(args.chrom_sizes) if args.chrom_sizes else None
+    call = filter_fet_regions(
+        seqids,
+        starts,
+        scores,
+        stddevs,
+        FetFilterConfig(
+            max_distance=args.max_distance,
+            norm_quantile=args.norm_quantile,
+            stddev_percentile=args.stddev_percentile,
+        ),
+        chrom_lengths=sizes,
+    )
+    write_segments_track(args.out, call.segments)
+    print(
+        json.dumps(
+            {
+                "windows_passing": call.n_windows_passing,
+                "limit": call.threshold,
+                "regions": len(call.segments),
+                **call.info,
+            }
+        )
+    )
+
+
+def cmd_call_css_regions(args) -> None:
+    from divergence_tpu.config import CssRegionConfig
+    from divergence_tpu.io import read_score_track, write_segments_track
+    from divergence_tpu.io.genome import read_chrom_sizes
+    from divergence_tpu.stats import call_css_regions
+
+    seqids, starts, scores, pvals = read_score_track(args.scores)
+    sizes = read_chrom_sizes(args.chrom_sizes) if args.chrom_sizes else None
+    call = call_css_regions(
+        seqids,
+        starts,
+        scores,
+        pvals,
+        CssRegionConfig(
+            mode=args.mode,
+            fdr=args.fdr,
+            num_top=args.num_top,
+            window_size=args.window_size,
+        ),
+        chrom_lengths=sizes,
+    )
+    write_segments_track(args.out, call.segments)
+    print(
+        json.dumps(
+            {
+                "windows_passing": call.n_windows_passing,
+                "threshold": call.threshold,
+                "regions": len(call.segments),
+                **{k: v for k, v in call.info.items()},
+            }
+        )
+    )
+
+
+def _add_run_common(p: argparse.ArgumentParser) -> None:
+    p.add_argument("--pop-a", required=True, help="population A GTrack file")
+    p.add_argument("--pop-b", required=True, help="population B GTrack file")
+    p.add_argument("--out", required=True, help="output score track")
+    p.add_argument("--wsize", type=int, default=2500)
+    p.add_argument("--wstep", type=int, default=500)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument(
+        "--chrom-sizes",
+        default=None,
+        help="chrom.sizes file; without it regend = last SNP position + 1",
+    )
+    p.add_argument("--summary", default=None, help="write run-summary JSON here")
+    p.add_argument(
+        "--shard",
+        action="store_true",
+        help="shard window batches over all local devices",
+    )
+    p.add_argument("--num-hosts", type=int, default=1)
+    p.add_argument("--host-id", type=int, default=0)
+
+
+def build_parser() -> argparse.ArgumentParser:
+    ap = argparse.ArgumentParser(
+        prog="divergence_tpu",
+        description="TPU-native genome-wide divergence analysis (FET + CSS)",
+    )
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("convert-vcf", help="VCF → GTrack valued points")
+    p.add_argument("--vcf", required=True)
+    p.add_argument("--population", default=None, help="comma-separated names")
+    p.add_argument("--population-file", default=None, help="one name per line")
+    p.add_argument("--out", required=True)
+    p.add_argument("--genome", default="unknown")
+    p.set_defaults(fn=cmd_convert_vcf)
+
+    p = sub.add_parser(
+        "convert-snp-table", help="Jones-et-al SNP table → GTrack"
+    )
+    p.add_argument("--table", required=True)
+    p.add_argument("--ids", required=True, help="comma list of IDs/offsets")
+    p.add_argument("--out", required=True)
+    p.add_argument("--genome", default="unknown")
+    p.set_defaults(fn=cmd_convert_snp_table)
+
+    p = sub.add_parser("run-fet", help="windowed Fisher's Exact Test scan")
+    _add_run_common(p)
+    p.add_argument("--percentile", type=float, default=0.95)
+    p.add_argument("--bootstrap-samples", type=int, default=100)
+    p.set_defaults(fn=cmd_run_fet)
+
+    p = sub.add_parser("run-css", help="windowed Cluster Separation Score scan")
+    _add_run_common(p)
+    p.add_argument(
+        "--mds",
+        choices=["cmds", "smacof", "cmds+smacof"],
+        default="cmds",
+    )
+    p.add_argument("--mc-threshold", type=int, default=10)
+    p.add_argument("--mc-runs", type=int, default=200_000)
+    p.add_argument("--mc-chunk", type=int, default=4096)
+    p.add_argument("--drosophila", action="store_true")
+    p.set_defaults(fn=cmd_run_css)
+
+    p = sub.add_parser("filter-fet", help="FET region calling (Burke limit)")
+    p.add_argument("--scores", required=True)
+    p.add_argument("--out", required=True)
+    p.add_argument("--max-distance", type=int, default=100_000)
+    p.add_argument("--norm-quantile", type=float, default=0.999)
+    p.add_argument("--stddev-percentile", type=float, default=75.0)
+    p.add_argument("--chrom-sizes", default=None)
+    p.set_defaults(fn=cmd_filter_fet)
+
+    p = sub.add_parser(
+        "call-css-regions", help="CSS region calling (BH-FDR / top-N)"
+    )
+    p.add_argument("--scores", required=True)
+    p.add_argument("--out", required=True)
+    p.add_argument("--mode", choices=["fdr", "top"], default="fdr")
+    p.add_argument("--fdr", type=float, default=0.05)
+    p.add_argument("--num-top", type=int, default=100)
+    p.add_argument("--window-size", type=int, default=2500)
+    p.add_argument("--chrom-sizes", default=None)
+    p.set_defaults(fn=cmd_call_css_regions)
+
+    return ap
+
+
+def main(argv: list[str] | None = None) -> None:
+    args = build_parser().parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])

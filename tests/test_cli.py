@@ -1,0 +1,229 @@
+"""End-to-end CLI pipeline test: convert-vcf → run-fet/run-css →
+filter-fet / call-css-regions (the reference's five GUI tools as one flow,
+SURVEY.md §3.1-3.4)."""
+
+import json
+
+import numpy as np
+import pytest
+
+from divergence_tpu.tools.cli import main as cli_main
+
+
+@pytest.fixture(scope="module")
+def toy_vcf(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("cli")
+    rng = np.random.default_rng(17)
+    anames = [f"A{i}" for i in range(6)]
+    bnames = [f"B{i}" for i in range(5)]
+    names = anames + bnames
+    pos = np.sort(rng.choice(np.arange(100, 20_000), 250, replace=False))
+    lines = [
+        "##fileformat=VCFv4.2",
+        "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\t"
+        + "\t".join(names),
+    ]
+    for p in pos:
+        div = rng.random() < 0.25
+        gts = []
+        for i in range(len(names)):
+            pa = 0.9 if (div and i < 6) else 0.35
+            r = rng.random()
+            if r < 0.02:
+                g = "./."
+            elif r < pa:
+                g = "0/0"
+            elif r < pa + 0.2:
+                g = "0/1"
+            else:
+                g = "1/1"
+            gts.append(g)
+        lines.append(f"chrT\t{p}\t.\tA\tT\t50\tPASS\t.\tGT\t" + "\t".join(gts))
+    vcf = tmp / "toy.vcf"
+    vcf.write_text("\n".join(lines) + "\n")
+    sizes = tmp / "chrom.sizes"
+    sizes.write_text("chrT\t20000\n")
+    return tmp, vcf, sizes, anames, bnames
+
+
+def test_cli_full_pipeline(toy_vcf, capsys):
+    tmp, vcf, sizes, anames, bnames = toy_vcf
+
+    cli_main(
+        [
+            "convert-vcf",
+            "--vcf", str(vcf),
+            "--population", ",".join(anames),
+            "--out", str(tmp / "popA.gtrack"),
+            "--genome", "toy",
+        ]
+    )
+    cli_main(
+        [
+            "convert-vcf",
+            "--vcf", str(vcf),
+            "--population", ",".join(bnames),
+            "--out", str(tmp / "popB.gtrack"),
+        ]
+    )
+
+    cli_main(
+        [
+            "run-fet",
+            "--pop-a", str(tmp / "popA.gtrack"),
+            "--pop-b", str(tmp / "popB.gtrack"),
+            "--out", str(tmp / "fet.track"),
+            "--chrom-sizes", str(sizes),
+            "--summary", str(tmp / "fet_summary.json"),
+        ]
+    )
+    fet_lines = [
+        ln
+        for ln in (tmp / "fet.track").read_text().splitlines()
+        if not ln.startswith("#")
+    ]
+    assert len(fet_lines) > 10
+    summary = json.loads((tmp / "fet_summary.json").read_text())
+    assert summary["counters"]["windows_planned"] > 0
+
+    cli_main(
+        [
+            "run-css",
+            "--pop-a", str(tmp / "popA.gtrack"),
+            "--pop-b", str(tmp / "popB.gtrack"),
+            "--out", str(tmp / "css.track"),
+            "--chrom-sizes", str(sizes),
+            "--mc-runs", "2000",
+            "--mc-chunk", "512",
+        ]
+    )
+    css_lines = [
+        ln
+        for ln in (tmp / "css.track").read_text().splitlines()
+        if not ln.startswith("#")
+    ]
+    assert len(css_lines) > 10
+
+    cli_main(
+        [
+            "filter-fet",
+            "--scores", str(tmp / "fet.track"),
+            "--out", str(tmp / "fet_regions.gtrack"),
+            "--max-distance", "2000",
+            "--chrom-sizes", str(sizes),
+        ]
+    )
+    out = capsys.readouterr().out
+    stats_line = json.loads(out.strip().splitlines()[-1])
+    assert "limit" in stats_line
+
+    cli_main(
+        [
+            "call-css-regions",
+            "--scores", str(tmp / "css.track"),
+            "--out", str(tmp / "css_regions.gtrack"),
+            "--mode", "top",
+            "--num-top", "10",
+            "--chrom-sizes", str(sizes),
+        ]
+    )
+    seg_lines = [
+        ln
+        for ln in (tmp / "css_regions.gtrack").read_text().splitlines()
+        if not ln.startswith("#")
+    ]
+    assert len(seg_lines) >= 1
+    for ln in seg_lines:
+        seqid, start, end = ln.split("\t")
+        assert seqid == "chrT"
+        assert 0 <= int(start) < int(end) <= 19_999
+
+
+def test_cli_sharded_matches_unsharded(toy_vcf):
+    tmp, vcf, sizes, anames, bnames = toy_vcf
+    cli_main(
+        [
+            "run-fet",
+            "--pop-a", str(tmp / "popA.gtrack"),
+            "--pop-b", str(tmp / "popB.gtrack"),
+            "--out", str(tmp / "fet_sharded.track"),
+            "--chrom-sizes", str(sizes),
+            "--shard",
+        ]
+    )
+    base = (tmp / "fet.track").read_text()
+    sharded = (tmp / "fet_sharded.track").read_text()
+    assert base == sharded
+
+
+def test_cli_multihost_partition(toy_vcf):
+    tmp, vcf, sizes, anames, bnames = toy_vcf
+    # single chromosome, 2 hosts: host 0 gets it, host 1 writes empty track
+    cli_main(
+        [
+            "run-fet",
+            "--pop-a", str(tmp / "popA.gtrack"),
+            "--pop-b", str(tmp / "popB.gtrack"),
+            "--out", str(tmp / "fet_h0.track"),
+            "--chrom-sizes", str(sizes),
+            "--num-hosts", "2",
+            "--host-id", "0",
+        ]
+    )
+    cli_main(
+        [
+            "run-fet",
+            "--pop-a", str(tmp / "popA.gtrack"),
+            "--pop-b", str(tmp / "popB.gtrack"),
+            "--out", str(tmp / "fet_h1.track"),
+            "--chrom-sizes", str(sizes),
+            "--num-hosts", "2",
+            "--host-id", "1",
+        ]
+    )
+    h0 = [
+        ln
+        for ln in (tmp / "fet_h0.track").read_text().splitlines()
+        if not ln.startswith("#")
+    ]
+    h1 = [
+        ln
+        for ln in (tmp / "fet_h1.track").read_text().splitlines()
+        if not ln.startswith("#")
+    ]
+    base = [
+        ln
+        for ln in (tmp / "fet.track").read_text().splitlines()
+        if not ln.startswith("#")
+    ]
+    assert sorted(h0 + h1) == sorted(base)
+
+
+def test_convert_snp_table(tmp_path):
+    table = tmp_path / "snps.tsv"
+    table.write_text(
+        "#seqid\tpos\tallele1\tallele2\tfish0\tfish1\tfish2\n"
+        "chrI\t100\tA\tG\tAA\tAG\tGG\n"
+        "chrI\t200\tC\tT\tCC\tNN\tTC\n"
+    )
+    cli_main(
+        [
+            "convert-snp-table",
+            "--table", str(table),
+            "--ids", "fish0,fish1,fish2",
+            "--out", str(tmp_path / "out.gtrack"),
+        ]
+    )
+    rows = [
+        ln
+        for ln in (tmp_path / "out.gtrack").read_text().splitlines()
+        if ln and not ln.startswith("#")
+    ]
+    assert rows == [
+        "chrI\t100\t3\tfish0",
+        "chrI\t100\t0\tfish1",
+        "chrI\t100\t-3\tfish2",
+        "chrI\t200\t3\tfish0",
+        "chrI\t200\t-10000\tfish1",
+        "chrI\t200\t0\tfish2",
+    ]
