@@ -53,8 +53,8 @@ def main() -> None:
     from divergence_tpu.oracle import reference as oracle
 
     asize, bsize = 11, 10
-    region = 2_000_000
-    npos = 40_000
+    region = 10_000_000
+    npos = 200_000
     cfg = FetConfig()
     w = cfg.window
 

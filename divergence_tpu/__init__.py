@@ -29,6 +29,8 @@ Layers (bottom up):
   window planner, CPU baseline oracle) loaded via ctypes
 """
 
+import os as _os
+
 import jax as _jax
 
 # The reference computes everything in C doubles.  Score parity at ~1e-9
@@ -36,6 +38,18 @@ import jax as _jax
 # (dissimilarity counting, permutation scoring) explicitly down-cast where
 # exactness is preserved (integer counts in f32-accumulated bf16 matmuls).
 _jax.config.update("jax_enable_x64", True)
+
+# Persistent XLA compilation cache: CLI runs on small inputs are otherwise
+# dominated by compile time (the kernels recompile per bucket shape).
+# Override the location with DIVERGENCE_TPU_CACHE; disable with
+# DIVERGENCE_TPU_CACHE=off.
+_cache = _os.environ.get(
+    "DIVERGENCE_TPU_CACHE",
+    _os.path.expanduser("~/.cache/divergence_tpu/xla"),
+)
+if _cache != "off":
+    _jax.config.update("jax_compilation_cache_dir", _cache)
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 __version__ = "0.1.0"
 

@@ -15,7 +15,8 @@ import jax
 import jax.numpy as jnp
 
 from divergence_tpu.config import CssConfig
-from divergence_tpu.core.batching import bucketize, gather_indices
+from divergence_tpu.core.batching import bucketize
+from divergence_tpu.engine.fet_engine import _gather_windows
 from divergence_tpu.core.windows import plan_windows
 from divergence_tpu.engine.snp import SnpPair
 from divergence_tpu.kernels import css as kcss
@@ -53,8 +54,7 @@ def run_css(
 
     asize, bsize = pair.asize, pair.bsize
     m = 2 if cfg.drosophila else asize + bsize
-    avals_d = jnp.asarray(pair.avals)
-    bvals_d = jnp.asarray(pair.bvals)
+    avals_d, bvals_d = pair.device_values()
     key = jax.random.PRNGKey(cfg.seed)
 
     in_slots = plan.slot < nslots
@@ -65,26 +65,22 @@ def run_css(
         max_batch=4096,
     )
 
-    # phase 1: scores + distance matrices for every valid window
-    all_slots: list[np.ndarray] = []
-    all_scores: list[np.ndarray] = []
-    all_dist: list[np.ndarray] = []
-    n_discarded = 0
+    # phase 1: scores + distance matrices for every valid window;
+    # dispatch all buckets asynchronously, materialize with one host sync
+    pending = []
     for bi, bucket in enumerate(buckets):
-        idx, _ = gather_indices(bucket)
         Bw = len(bucket.window_ids)
         Bp = _pad_batch(Bw)
-        if Bp != Bw:
-            idx = np.pad(idx, ((0, Bp - Bw), (0, 0)))
+        lo = np.pad(bucket.lo, (0, Bp - Bw))
         npos = np.pad(bucket.npos, (0, Bp - Bw))
-
-        idx_d = jnp.asarray(idx)
+        lo_d = jnp.asarray(lo)
         npos_d = jnp.asarray(npos)
         if sharding is not None:
-            idx_d = jax.device_put(idx_d, sharding)
+            lo_d = jax.device_put(lo_d, sharding)
             npos_d = jax.device_put(npos_d, sharding)
-        av = jnp.take(avals_d, idx_d, axis=0)
-        bv = jnp.take(bvals_d, idx_d, axis=0)
+        av, bv = _gather_windows(
+            avals_d, bvals_d, lo_d, npos_d, bucket.padded_npos
+        )
 
         s, dist, valid = kcss.css_window_batch(
             av,
@@ -99,9 +95,42 @@ def run_css(
             smacof_inits=cfg.smacof.n_init,
             smacof_eps=cfg.smacof.epsilon,
         )
-        s = np.asarray(s)[:Bw]
-        dist = np.asarray(dist)[:Bw]
-        valid = np.asarray(valid)[:Bw]
+        pending.append((bucket, s, dist, valid))
+
+    all_slots: list[np.ndarray] = []
+    all_scores: list[np.ndarray] = []
+    all_dist: list[np.ndarray] = []
+    n_discarded = 0
+    # pack (dist | score | valid) per window into one [sumB, m*m+2] array:
+    # a single device->host round trip for the whole phase.  Block on the
+    # in-flight kernels first (see fet_engine: eager ops over still-
+    # executing inputs hit a slow path on remote-device backends).
+    if not pending:
+        return scores, pvals
+    jax.block_until_ready([s for _, s, _, _ in pending])
+    packed = jnp.concatenate(
+        [
+            jnp.concatenate(
+                [
+                    d.reshape(d.shape[0], -1),
+                    s[:, None],
+                    v[:, None].astype(s.dtype),
+                ],
+                axis=1,
+            )
+            for _, s, d, v in pending
+        ]
+    )
+    fetched = jax.device_get(packed)
+    off = 0
+    for bucket, s_d, _, _ in pending:
+        Bp = s_d.shape[0]
+        Bw = len(bucket.window_ids)
+        rows = fetched[off : off + Bw]
+        off += Bp
+        dist = rows[:, : m * m].reshape(Bw, m, m)
+        s = rows[:, m * m]
+        valid = rows[:, m * m + 1] != 0.0
         n_discarded += int((~valid & (bucket.npos > 0)).sum())
         all_slots.append(bucket.slot[valid])
         all_scores.append(s[valid])

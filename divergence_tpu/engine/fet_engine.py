@@ -9,13 +9,15 @@ static even batches; with a device mesh the window axis shards over ICI
 
 from __future__ import annotations
 
+import functools
+
 import numpy as np
 
 import jax
 import jax.numpy as jnp
 
 from divergence_tpu.config import FetConfig
-from divergence_tpu.core.batching import bucketize, gather_indices
+from divergence_tpu.core.batching import bucketize
 from divergence_tpu.core.windows import plan_windows
 from divergence_tpu.engine.snp import SnpPair
 from divergence_tpu.kernels import fet as kfet
@@ -29,6 +31,17 @@ def _pad_batch(n: int) -> int:
     while p < n:
         p *= 2
     return p
+
+
+@functools.partial(jax.jit, static_argnames=("P",))
+def _gather_windows(avals, bvals, lo, npos, P):
+    """Device-side window materialization: [B] descriptors -> [B, P, size]
+    padded batches.  Rows past ``npos`` point at SNP 0 and are masked in
+    the kernels."""
+    offs = jnp.arange(P, dtype=lo.dtype)[None, :]
+    idx = lo[:, None] + offs
+    idx = jnp.where(offs < npos[:, None], idx, 0)
+    return jnp.take(avals, idx, axis=0), jnp.take(bvals, idx, axis=0)
 
 
 def run_fet(
@@ -55,8 +68,7 @@ def run_fet(
         return scores, stddev
 
     # device-resident SNP matrices; window rows are gathered on device
-    avals_d = jnp.asarray(pair.avals)
-    bvals_d = jnp.asarray(pair.bvals)
+    avals_d, bvals_d = pair.device_values()
 
     maxs = kfet.support_size(pair.asize, pair.bsize)
     nmax = pair.asize + pair.bsize + 2
@@ -76,23 +88,26 @@ def run_fet(
         )
         summary.counters["buckets"] = len(buckets)
 
+    # dispatch every bucket asynchronously; materialize with ONE host sync
+    # at the end (each blocking device->host read costs a full round trip,
+    # which dwarfs the kernels themselves on small workloads)
+    pending: list[tuple[np.ndarray, int, jnp.ndarray, jnp.ndarray]] = []
     for bi, bucket in enumerate(buckets):
-        idx, _ = gather_indices(bucket)
         Bw = len(bucket.window_ids)
         Bp = _pad_batch(Bw)
-        if Bp != Bw:
-            idx = np.pad(idx, ((0, Bp - Bw), (0, 0)))
+        # upload only the [B] window descriptors; the [B, P] gather index
+        # matrix is built on device (60x less host->device traffic)
+        lo = np.pad(bucket.lo, (0, Bp - Bw))
         npos = np.pad(bucket.npos, (0, Bp - Bw))
-
-        idx_d = jnp.asarray(idx)
+        lo_d = jnp.asarray(lo)
         npos_d = jnp.asarray(npos)
         if sharding is not None:
-            idx_d = jax.device_put(idx_d, sharding)
+            lo_d = jax.device_put(lo_d, sharding)
             npos_d = jax.device_put(npos_d, sharding)
-        av = jnp.take(avals_d, idx_d, axis=0)  # [Bp, P, asize]
-        bv = jnp.take(bvals_d, idx_d, axis=0)
+        av, bv = _gather_windows(
+            avals_d, bvals_d, lo_d, npos_d, bucket.padded_npos
+        )
 
-        k = kfet.topk_needed(bucket.padded_npos, cfg.percentile)
         s, d = kfet.fet_window_batch(
             av,
             bv,
@@ -102,11 +117,30 @@ def run_fet(
             nsamples=cfg.bootstrap_samples,
             maxs=maxs,
             nmax=nmax,
-            k=k,
         )
-        s = np.asarray(s)[:Bw]
-        d = np.asarray(d)[:Bw]
-        scores[bucket.slot] = s
-        stddev[bucket.slot] = d
+        pending.append((bucket.slot, Bw, s, d))
+
+    # pack all buckets into ONE device array so materialization costs a
+    # single device->host round trip (device_get of a pytree fetches each
+    # leaf separately).  Wait for the in-flight kernels BEFORE dispatching
+    # the pack: on remote-device backends an eager op whose inputs are
+    # still executing lands on a slow scheduling path (~0.5 s), while
+    # blocking on finished work and packing ready buffers is milliseconds.
+    if not pending:
+        return scores, stddev
+    jax.block_until_ready([(s, d) for _, _, s, d in pending])
+    packed = jnp.stack(
+        [
+            jnp.concatenate([s for _, _, s, _ in pending]),
+            jnp.concatenate([d for _, _, _, d in pending]),
+        ]
+    )
+    fetched = jax.device_get(packed)
+    off = 0
+    for slot, Bw, s, _ in pending:
+        Bp = s.shape[0]
+        scores[slot] = fetched[0, off : off + Bw]
+        stddev[slot] = fetched[1, off : off + Bw]
+        off += Bp
 
     return scores, stddev

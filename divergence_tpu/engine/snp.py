@@ -23,6 +23,18 @@ class SnpPair:
     avals: np.ndarray      # [npos, asize] genotype codes
     bvals: np.ndarray      # [npos, bsize]
 
+    def device_values(self):
+        """(avals, bvals) as device arrays, uploaded once and cached —
+        both engines and repeated runs reuse the same HBM copy (host→device
+        transfers dominate small runs)."""
+        cached = getattr(self, "_device_vals", None)
+        if cached is None:
+            import jax.numpy as jnp
+
+            cached = (jnp.asarray(self.avals), jnp.asarray(self.bvals))
+            object.__setattr__(self, "_device_vals", cached)
+        return cached
+
     @property
     def asize(self) -> int:
         return self.avals.shape[1]

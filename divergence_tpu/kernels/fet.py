@@ -16,9 +16,16 @@ percentile :136-144, calc_std :590-597) with fixed-shape vector math:
   while *strictly* less probable than the observed table (a suffix-AND
   instead of a sequential scan); equal row/column margins double the
   first tail; the total clamps at 1 (cFisher.c:433-452);
-* the window percentile and the 100 bootstrap-replicate percentiles use
-  ``lax.top_k`` (only the top (1-perc) tail of each replicate is ever
-  needed) instead of full sorts.
+* the window percentile comes from one ascending sort per window;
+* the 100 bootstrap-replicate percentiles use the *order-statistic*
+  identity instead of materializing resamples: the k-th order statistic
+  of n draws-with-replacement from the empirical distribution equals the
+  empirical quantile function evaluated at U_(k), the k-th order
+  statistic of n iid uniforms, and U_(k) ~ Beta(k, n+1-k) with
+  U_(k+1) | U_(k) = u  ~  u + (1-u)·Beta(1, n-k).  This turns the
+  reference's O(S·n) resampling + O(S·n log n) sorting per window
+  (cFisher.c:562-571, 590-597) into O(S) Beta draws + O(S) gathers —
+  identical in distribution, far lighter on HBM.
 
 Shapes: a bucket is [B, P, size] — B windows, P padded SNPs.
 Probability math runs in float64 (the reference is all C doubles).
@@ -134,36 +141,31 @@ def fet_two_tailed(tables: jnp.ndarray, maxs: int, nmax: int) -> jnp.ndarray:
     return jnp.minimum(total, 1.0)
 
 
-def _percentile_from_topk(
-    topk_desc: jnp.ndarray, npos: jnp.ndarray, perc: jnp.ndarray
-) -> jnp.ndarray:
-    """Interpolated percentile from a descending top-k slice.
-
-    Reproduces the reference percentile (cFisher.c:136-144): with the
-    ascending order statistic s[.], result = (1-d)*s[idx] + d*s[idx+1],
-    idx = int((n-1)*perc).  Ascending rank j maps to descending rank
-    n-1-j, which lives in the top-k slice for all j >= n-1-(k-1)."""
+def _interp_ranks(npos: jnp.ndarray, perc: jnp.ndarray):
+    """(idx, hi_idx, delta) of the reference's interpolated percentile
+    (cFisher.c:136-144): with ascending order statistics s[.],
+    result = (1-d)*s[idx] + d*s[hi_idx], idx = int((n-1)*perc),
+    hi_idx = min(idx+1, n-1)."""
     nf = npos.astype(jnp.float64)
     xpos = (nf - 1.0) * perc
     idx = jnp.floor(xpos).astype(jnp.int32)
     delta = xpos - idx.astype(jnp.float64)
-    hi_idx = jnp.minimum(idx + 1, npos - 1)
-    r_lo = (npos - 1 - idx).astype(jnp.int32)
-    r_hi = (npos - 1 - hi_idx).astype(jnp.int32)
-    v_lo = jnp.take_along_axis(topk_desc, r_lo[..., None], axis=-1)[..., 0]
-    v_hi = jnp.take_along_axis(topk_desc, r_hi[..., None], axis=-1)[..., 0]
-    return (1.0 - delta) * v_lo + delta * v_hi
+    hi_idx = jnp.minimum(idx + 1, jnp.maximum(npos - 1, 0)).astype(jnp.int32)
+    return idx, hi_idx, delta
 
 
-def topk_needed(pmax: int, perc: float) -> int:
-    """Static k: descending ranks needed for the percentile of any window
-    with npos <= pmax (monotone in npos, so the bound is at npos == pmax)."""
-    return max(pmax - int((pmax - 1) * perc), 2)
+def _sorted_pick(sorted_asc: jnp.ndarray, npos: jnp.ndarray, rank: jnp.ndarray):
+    """Value of ascending order statistic ``rank`` (0-based, per window)
+    from a padded ascending sort where the n valid values occupy the LAST
+    n positions (padding = -inf sorts first).  ``rank`` broadcasts over a
+    trailing sample axis."""
+    P = sorted_asc.shape[-1]
+    pos = (P - npos[..., None] + rank).astype(jnp.int32)
+    pos = jnp.clip(pos, 0, P - 1)
+    return jnp.take_along_axis(sorted_asc, pos, axis=-1)
 
 
-@functools.partial(
-    jax.jit, static_argnames=("nsamples", "maxs", "nmax", "k")
-)
+@functools.partial(jax.jit, static_argnames=("nsamples", "maxs", "nmax"))
 def fet_window_batch(
     avals: jnp.ndarray,       # [B, P, asize] genotype codes (any float/int)
     bvals: jnp.ndarray,       # [B, P, bsize]
@@ -173,13 +175,12 @@ def fet_window_batch(
     nsamples: int,
     maxs: int,
     nmax: int,
-    k: int,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """FET scores + bootstrap stddev for one padded bucket of windows.
 
     Padding rows (snp index >= npos) never influence the result: their
-    scores are pinned to -inf before the top-k and bootstrap draws index
-    only the valid prefix."""
+    scores are pinned to -inf, which sorts to the front of the ascending
+    order, and all rank arithmetic offsets past them."""
     B, P = avals.shape[0], avals.shape[1]
     tables = count_tables(avals, bvals)          # [B, P, 4]
     pvals = fet_two_tailed(tables, maxs, nmax)   # [B, P]
@@ -187,24 +188,43 @@ def fet_window_batch(
 
     snp_mask = jnp.arange(P)[None, :] < npos[:, None]
     neg = jnp.float64(-jnp.inf)
-    logs_m = jnp.where(snp_mask, logs, neg)
+    logs_sorted = jnp.sort(jnp.where(snp_mask, logs, neg), axis=-1)
 
-    top = jax.lax.top_k(logs_m, k)[0]            # [B, k] descending
-    scores = _percentile_from_topk(top, npos, perc)
+    idx, hi_idx, delta = _interp_ranks(npos, perc)
+    v_lo = _sorted_pick(logs_sorted, npos, idx[..., None])[..., 0]
+    v_hi = _sorted_pick(logs_sorted, npos, hi_idx[..., None])[..., 0]
+    scores = (1.0 - delta) * v_lo + delta * v_hi
 
-    # bootstrap: nsamples replicates of npos draws with replacement
-    # (cFisher.c:562-571, 590-597); draws only index the valid prefix.
-    u = jax.random.uniform(key, (B, nsamples, P), dtype=jnp.float64)
-    draw = jnp.floor(u * npos[:, None, None].astype(jnp.float64))
-    draw = jnp.clip(draw.astype(jnp.int32), 0, P - 1)
-    samples = jnp.take_along_axis(
-        logs_m[:, None, :], draw, axis=-1
-    )                                             # [B, S, P]
-    samples = jnp.where(snp_mask[:, None, :], samples, neg)
-    top_s = jax.lax.top_k(samples, k)[0]          # [B, S, k]
-    reps = _percentile_from_topk(
-        top_s, npos[:, None], perc
-    )                                             # [B, S]
+    # Bootstrap stddev via order statistics (cFisher.c:562-571, 590-597
+    # semantics, identical in distribution): the percentile of a
+    # resample of n draws interpolates its ascending order statistics at
+    # ranks k1 = idx+1 and k2 = hi_idx+1 (1-based).  Sample
+    # U_(k1) ~ Beta(k1, n+1-k1); given U_(k1)=u the remaining n-k1
+    # draws are iid uniform on (u, 1), so
+    # U_(k2) = u + (1-u)·Beta(1, n-k1) when k2 = k1+1, or U_(k2)=U_(k1)
+    # when the reference clamps hi_idx == idx (n == 1 or perc == 1).
+    # The resample's order statistic X_(k) = empirical quantile at U_(k)
+    # = sorted[ceil(n·U_(k)) - 1].
+    nf = npos.astype(jnp.float64)[:, None]                  # [B, 1]
+    k1 = (idx + 1).astype(jnp.float64)[:, None]             # [B, 1]
+    ku, kv = jax.random.split(key)
+    shape = (B, nsamples)
+    a1 = jnp.broadcast_to(k1, shape)
+    b1 = jnp.broadcast_to(jnp.maximum(nf - k1 + 1.0, 1.0), shape)
+    u1 = jax.random.beta(ku, a1, b1, dtype=jnp.float64)
+    rem = jnp.maximum(nf - k1, 1.0)
+    b2 = jnp.broadcast_to(rem, shape)
+    g = jax.random.beta(kv, jnp.ones(shape, jnp.float64), b2, dtype=jnp.float64)
+    u2 = u1 + (1.0 - u1) * g
+
+    def rank_of(u):
+        r = jnp.ceil(nf * u) - 1.0
+        return jnp.clip(r, 0.0, jnp.maximum(nf - 1.0, 0.0)).astype(jnp.int32)
+
+    x1 = _sorted_pick(logs_sorted, npos, rank_of(u1))       # [B, S]
+    same = (hi_idx == idx)[:, None]
+    x2 = jnp.where(same, x1, _sorted_pick(logs_sorted, npos, rank_of(u2)))
+    reps = (1.0 - delta[:, None]) * x1 + delta[:, None] * x2
     mu = jnp.mean(reps, axis=-1, keepdims=True)
     stddev = jnp.sqrt(jnp.mean((reps - mu) ** 2, axis=-1))
 

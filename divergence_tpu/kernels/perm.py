@@ -142,9 +142,23 @@ def significance(
             bsize,
             chunk,
         )
-        ch_hits = np.asarray(ch_hits)[: len(active)]
-        reached = np.asarray(reached)[: len(active)]
-        pos = np.asarray(pos)[: len(active)]
+        # one host sync per round (pack into a single device array; a
+        # pytree device_get fetches leaf-by-leaf, one round trip each);
+        # block before packing — see fet_engine on the slow path for
+        # eager ops over in-flight inputs
+        jax.block_until_ready((ch_hits, reached, pos))
+        packed = jax.device_get(
+            jnp.stack(
+                [
+                    ch_hits.astype(jnp.int64),
+                    reached.astype(jnp.int64),
+                    pos.astype(jnp.int64),
+                ]
+            )
+        )
+        ch_hits = packed[0, : len(active)]
+        reached = packed[1, : len(active)].astype(bool)
+        pos = packed[2, : len(active)]
 
         fin = active[reached]
         hits[fin] = threshold

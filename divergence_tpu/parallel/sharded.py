@@ -59,9 +59,6 @@ def make_divergence_step(
         # independent RNG stream per shard
         shard = jax.lax.axis_index(WINDOW_AXIS)
         key = jax.random.fold_in(key, shard)
-        P_ = av.shape[1]
-        k = kfet.topk_needed(P_, percentile)
-
         fet_s, fet_d = kfet.fet_window_batch(
             av,
             bv,
@@ -71,7 +68,6 @@ def make_divergence_step(
             nsamples=nsamples,
             maxs=maxs,
             nmax=nmax,
-            k=k,
         )
         css_s, dist, valid = kcss.css_window_batch(
             av,

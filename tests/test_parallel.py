@@ -99,7 +99,6 @@ def test_sharded_matches_unsharded_kernels():
         nsamples=4,
         maxs=maxs,
         nmax=asize + bsize + 2,
-        k=kfet.topk_needed(P, 0.95),
     )
     np.testing.assert_allclose(out["fet_scores"], np.asarray(s), rtol=1e-12)
 
