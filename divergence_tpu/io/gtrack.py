@@ -71,11 +71,11 @@ def read_gtrack_points(
     """
     path = Path(path)
     try:
-        from divergence_tpu.native import parse_gtrack_native
+        from divergence_tpu.native import parse_gtrack_native_indexed
 
-        parsed = parse_gtrack_native(path)
+        parsed = parse_gtrack_native_indexed(path)
         if parsed is not None:
-            return _group_rows(*parsed, seqids=seqids)
+            return _group_rows_indexed(*parsed, seqids=seqids)
     except ImportError:
         pass
 
@@ -97,6 +97,36 @@ def read_gtrack_points(
     pos = np.asarray(pos_list, dtype=np.int64)
     vals = np.asarray(val_list, dtype=np.float64)
     return _group_rows(seq, pos, vals, seqids=seqids)
+
+
+def _group_rows_indexed(
+    names: list[str],
+    seq_idx: np.ndarray,
+    pos: np.ndarray,
+    vals: np.ndarray,
+    seqids: Iterable[str] | None = None,
+) -> dict[str, PopulationTrack]:
+    """Group interned-index rows (native parser output): integer masks
+    instead of object-array string comparisons."""
+    tracks: dict[str, PopulationTrack] = {}
+    wanted = set(seqids) if seqids is not None else None
+    for i, name in enumerate(names):
+        if wanted is not None and name not in wanted:
+            continue
+        mask = seq_idx == i
+        p = pos[mask]
+        v = vals[mask]
+        order = np.argsort(p, kind="stable")
+        p = p[order]
+        v = v[order]
+        size = _infer_population_size(p)
+        if size and len(p) % size != 0:
+            raise ValueError(
+                f"{name}: row count {len(p)} not a multiple of inferred "
+                f"population size {size}"
+            )
+        tracks[name] = PopulationTrack(name, p, v, size)
+    return dict(sorted(tracks.items()))
 
 
 def _group_rows(

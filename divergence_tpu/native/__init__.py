@@ -1,0 +1,153 @@
+"""Native C++ host runtime, loaded via ctypes.
+
+Builds ``gtrack_parser.cpp`` into a shared library on first use (g++,
+cached next to the source; rebuilt when the source is newer).  Every entry
+point degrades gracefully: if the toolchain or the build is unavailable,
+callers fall back to the pure-Python implementations, which define the
+semantics (io/gtrack.py).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+from pathlib import Path
+
+import numpy as np
+
+_HERE = Path(__file__).parent
+_SRC = _HERE / "gtrack_parser.cpp"
+_LIB = _HERE / "_gtrack_parser.so"
+_lock = threading.Lock()
+_lib: ctypes.CDLL | None = None
+_build_failed = False
+
+
+class _GtrackResult(ctypes.Structure):
+    _fields_ = [
+        ("n_rows", ctypes.c_int64),
+        ("pos", ctypes.POINTER(ctypes.c_int64)),
+        ("vals", ctypes.POINTER(ctypes.c_double)),
+        ("seq_idx", ctypes.POINTER(ctypes.c_int32)),
+        ("n_seqids", ctypes.c_int32),
+        # POINTER(c_char), not c_char_p: the blob contains interior NULs
+        # and c_char_p would truncate at the first one
+        ("seqid_blob", ctypes.POINTER(ctypes.c_char)),
+        ("blob_len", ctypes.c_int64),
+    ]
+
+
+def _build() -> bool:
+    """Compile the parser; returns True on success."""
+    try:
+        subprocess.run(
+            [
+                "g++",
+                "-O3",
+                "-std=c++17",
+                "-shared",
+                "-fPIC",
+                "-pthread",
+                str(_SRC),
+                "-o",
+                str(_LIB),
+            ],
+            check=True,
+            capture_output=True,
+            timeout=120,
+        )
+        return True
+    except (OSError, subprocess.SubprocessError):
+        return False
+
+
+def _load() -> ctypes.CDLL | None:
+    global _lib, _build_failed
+    with _lock:
+        if _lib is not None:
+            return _lib
+        if _build_failed:
+            return None
+        if os.environ.get("DIVERGENCE_TPU_NO_NATIVE"):
+            _build_failed = True
+            return None
+        needs_build = (
+            not _LIB.exists()
+            or _LIB.stat().st_mtime < _SRC.stat().st_mtime
+        )
+        if needs_build and not _build():
+            _build_failed = True
+            return None
+        try:
+            lib = ctypes.CDLL(str(_LIB))
+        except OSError:
+            _build_failed = True
+            return None
+        lib.gtrack_parse.argtypes = [
+            ctypes.c_char_p,
+            ctypes.POINTER(_GtrackResult),
+            ctypes.c_int,
+        ]
+        lib.gtrack_parse.restype = ctypes.c_int
+        lib.gtrack_free.argtypes = [ctypes.POINTER(_GtrackResult)]
+        lib.gtrack_free.restype = None
+        _lib = lib
+        return lib
+
+
+def parse_gtrack_native_indexed(
+    path: str | Path, n_threads: int = 0
+) -> tuple[list[str], np.ndarray, np.ndarray, np.ndarray] | None:
+    """Parse a GTrack valued-points file with the C++ parser.
+
+    Returns (seqid_names, seq_idx int32 [n_rows], pos int64, vals float64)
+    in file row order, with seqids interned as indices into
+    ``seqid_names`` — integer grouping downstream is ~10x faster than
+    object-array comparisons.  None when native parsing is unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    res = _GtrackResult()
+    rc = lib.gtrack_parse(
+        str(path).encode(), ctypes.byref(res), int(n_threads)
+    )
+    if rc != 0:
+        return None
+    try:
+        n = res.n_rows
+        pos = np.ctypeslib.as_array(res.pos, shape=(n,)).copy() if n else (
+            np.zeros(0, dtype=np.int64)
+        )
+        vals = np.ctypeslib.as_array(res.vals, shape=(n,)).copy() if n else (
+            np.zeros(0, dtype=np.float64)
+        )
+        seq_idx = (
+            np.ctypeslib.as_array(res.seq_idx, shape=(n,)).copy()
+            if n
+            else np.zeros(0, dtype=np.int32)
+        )
+        blob = ctypes.string_at(res.seqid_blob, res.blob_len)
+        names = [x.decode() for x in blob.split(b"\x00")[: res.n_seqids]]
+        return names, seq_idx, pos, vals
+    finally:
+        lib.gtrack_free(ctypes.byref(res))
+
+
+def parse_gtrack_native(
+    path: str | Path, n_threads: int = 0
+) -> tuple[np.ndarray, np.ndarray, np.ndarray] | None:
+    """Like :func:`parse_gtrack_native_indexed` but materializes seqids as
+    an object array of names (the Python reader's pre-grouping contract)."""
+    parsed = parse_gtrack_native_indexed(path, n_threads)
+    if parsed is None:
+        return None
+    names, seq_idx, pos, vals = parsed
+    arr = np.asarray(names, dtype=object)
+    seq = arr[seq_idx] if len(seq_idx) else np.zeros(0, dtype=object)
+    return seq, pos, vals
+
+
+def native_available() -> bool:
+    return _load() is not None
