@@ -1,0 +1,93 @@
+"""HyperBrowser ``analysisDef`` kwarg-string protocol (compatibility).
+
+The reference configures its statistic adapters through strings like::
+
+    "Dummy: dummy name ([wStep=500] [wSize=2500] [percentile=0.95])
+        -> FisherExactScoreStat"
+    "Dummy: dummy name ([wStep=500] [wSize=2500] [func=False] [mds=0]
+        [mcT=10] [mcR=200000])-> CategoryClusterSeparationStat"
+
+(reference tools/FisherExactTestSNPTool.py:169,
+tools/ClusterSeparationScore.py:187, parsed at
+statistics/FisherExactScoreStat.py:44-50 and
+statistics/CategoryClusterSeparationStat.py:44-67).  This module parses /
+builds those strings and maps them to the framework's typed configs so
+existing HyperBrowser workflows translate 1:1.
+"""
+
+from __future__ import annotations
+
+import re
+
+from divergence_tpu.config import (
+    CssConfig,
+    FetConfig,
+    MdsAlgorithm,
+    WindowConfig,
+)
+
+_KWARG_RE = re.compile(r"\[([A-Za-z_]\w*)=([^\]]*)\]")
+_STAT_RE = re.compile(r"->\s*(\w+)\s*$")
+
+FET_STAT = "FisherExactScoreStat"
+CSS_STAT = "CategoryClusterSeparationStat"
+
+
+def parse_analysis_def(s: str) -> tuple[str, dict[str, str]]:
+    """(stat_name, raw kwargs) from an analysisDef string."""
+    m = _STAT_RE.search(s)
+    if not m:
+        raise ValueError(f"no '-> StatName' suffix in analysisDef: {s!r}")
+    kwargs = {k: v for k, v in _KWARG_RE.findall(s)}
+    return m.group(1), kwargs
+
+
+def config_from_analysis_def(s: str) -> FetConfig | CssConfig:
+    """Typed engine config from an analysisDef string.
+
+    Numeric kwargs accept the ``%g`` formatting the reference emits
+    (``2500`` or ``2.5e+03``); the CSS ``func`` flag is the string
+    ``"True"``/``"False"`` exactly as the adapter compares it
+    (CategoryClusterSeparationStat.py:60)."""
+    stat, kw = parse_analysis_def(s)
+    window = WindowConfig(
+        wsize=int(float(kw.get("wSize", 2500))),
+        wstep=int(float(kw.get("wStep", 500))),
+    )
+    if stat == FET_STAT:
+        return FetConfig(
+            window=window,
+            percentile=float(kw.get("percentile", 0.95)),
+        )
+    if stat == CSS_STAT:
+        return CssConfig(
+            window=window,
+            mc_threshold=int(float(kw.get("mcT", 10))),
+            mc_runs=int(float(kw.get("mcR", 200_000))),
+            drosophila=kw.get("func", "False") == "True",
+            mds=MdsAlgorithm(int(float(kw.get("mds", 0)))),
+        )
+    raise ValueError(f"unknown statistic {stat!r} in analysisDef")
+
+
+def build_analysis_def(cfg: FetConfig | CssConfig) -> str:
+    """The reference-format analysisDef string for a typed config."""
+    w = cfg.window
+    if isinstance(cfg, FetConfig):
+        return (
+            "Dummy: dummy name ([wStep=%g] [wSize=%g] [percentile=%g])"
+            "-> %s" % (w.wstep, w.wsize, cfg.percentile, FET_STAT)
+        )
+    return (
+        "Dummy: dummy name ([wStep=%g] [wSize=%s] [func=%s] [mds=%s] "
+        "[mcT=%s] [mcR=%s])-> %s"
+        % (
+            w.wstep,
+            w.wsize,
+            cfg.drosophila,
+            int(cfg.mds),
+            cfg.mc_threshold,
+            cfg.mc_runs,
+            CSS_STAT,
+        )
+    )
