@@ -109,6 +109,39 @@ def main() -> None:
     nz = int(np.count_nonzero(scores))
     print(f"[bench] nonzero-score windows: {nz}", file=sys.stderr)
 
+    # --- CSS secondary benchmark (stderr only): worst-case MC, every
+    # window divergent -> full 200k permutations/window ---
+    from divergence_tpu.config import CssConfig
+    from divergence_tpu.engine import run_css
+    from divergence_tpu.utils.summary import RunSummary
+
+    cpos, camat, cbmat = make_chromosome(10_000, 500_000, asize, bsize, 11)
+    cpair = SnpPair(positions=cpos, avals=camat, bvals=cbmat)
+    css_cfg = CssConfig()
+    run_css(cpair, 500_000, css_cfg)
+    csum = RunSummary()
+    t0 = time.perf_counter()
+    cs, cp = run_css(cpair, 500_000, css_cfg, summary=csum)
+    css_s = time.perf_counter() - t0
+    ncw = int(np.count_nonzero(cs))
+    mc = csum.counters.get("mc_permutations", 0)
+
+    rng_o = np.random.default_rng(0)
+    dref = rng_o.random((asize + bsize, asize + bsize))
+    dref = dref + dref.T
+    np.fill_diagonal(dref, 0.0)
+    t0 = time.perf_counter()
+    oracle.significance(dref, asize, bsize, 1e9, 10, 3000, rng_o)
+    oracle_perm_rate = 3000 / (time.perf_counter() - t0)
+    print(
+        f"[bench] css: {css_s:.2f}s for {ncw} windows "
+        f"({ncw / css_s:,.0f} win/s), {mc / 1e6:.0f}M permutations "
+        f"({mc / css_s / 1e6:.0f}M perms/s; oracle "
+        f"{oracle_perm_rate / 1e3:.0f}k/s -> "
+        f"{mc / css_s / oracle_perm_rate:,.0f}x)",
+        file=sys.stderr,
+    )
+
     print(
         json.dumps(
             {

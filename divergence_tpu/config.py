@@ -113,9 +113,10 @@ class CssConfig:
     seed: int = 0
 
     # Device-side batching knob: permutations are evaluated in fixed-shape
-    # chunks of this size; windows exit the Monte-Carlo loop as soon as the
-    # chunk containing their mc_threshold-th hit completes.
-    mc_chunk: int = 4096
+    # chunks of this size inside the on-device while_loop; windows exit as
+    # soon as the chunk containing their mc_threshold-th hit completes.
+    # Bounds the [window_batch, mc_chunk, m, m] one-hot/matmul buffers.
+    mc_chunk: int = 256
 
     def __post_init__(self) -> None:
         if self.mc_threshold <= 0 or self.mc_runs <= 0:

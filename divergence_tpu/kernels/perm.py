@@ -3,22 +3,28 @@
 The reference permutes labels one at a time per window until 10 hits or
 200k permutations (css.c:727-752) — up to 200k serial CSS re-evaluations
 per significant window, THE dominant cost (SURVEY.md §3.2).  Here the
-adaptive loop becomes fixed-shape device chunks:
+whole adaptive loop runs ON DEVICE as a ``lax.while_loop`` over
+fixed-shape chunks:
 
-* a chunk evaluates K random permutations for every still-active window
-  at once;
+* one iteration evaluates ``chunk`` random permutations for every window
+  of the batch at once;
 * the permuted CSS decomposes into one batched matmul plus tiny gathers —
   no m x m matrix is ever materialized per permutation:
   between-sum = u^T D (1-u) with u the group-A indicator of the
-  permutation (computed as one [K, m] x [m, m] matmul per window), and
-  the within-group *adjacent-chain* sums (order-dependent!
-  css.c:627-641) are m-2 gathers from the flattened distance matrix;
+  permutation, and the within-group *adjacent-chain* sums
+  (order-dependent!  css.c:627-641) are m-2 gathers from the flattened
+  distance matrix;
 * the estimator is exactly the reference's p = (hits+1)/(n+1) with
   n = the permutation index of the threshold-th hit (located inside the
-  chunk by cumulative sum), or n = runs at the cap.
+  chunk by cumulative sum), or n = runs at the cap;
+* the loop exits as soon as every window of the batch has either reached
+  the hit threshold or consumed ``runs`` permutations — one host
+  dispatch and one device->host sync for the entire Monte-Carlo of a
+  window batch (the host-driven round trip per chunk dominated wall
+  time on remote-device backends).
 
-The host drives rounds, compacting finished windows out of the batch, so
-non-significant windows (the vast majority) exit after one chunk.
+RNG is deterministic per (key, chunk index) and differs from the
+wall-clock-seeded reference by design (SURVEY.md §5).
 """
 
 from __future__ import annotations
@@ -34,6 +40,113 @@ import jax.numpy as jnp
 from divergence_tpu.kernels.css import chain_weights
 
 
+def _perm_scores(
+    distf: jnp.ndarray,   # [B, m, m] f32
+    key: jax.Array,
+    asize: int,
+    bsize: int,
+    chunk: int,
+) -> jnp.ndarray:
+    """CSS of ``chunk`` random label permutations per window: [B, K] f32.
+
+    Gather-free: with the permutation one-hot Pi ([B, K, m, m],
+    Pi[i, p_i] = 1) ONE batched matmul A = Pi @ D gives
+    A[..., i, :] = D[p_i, :], from which
+
+    * between-sum: rowsum_j = sum_{i<asize} A[..., i, j] = (u^T D)_j and
+      u_j = sum_{i<asize} Pi[..., i, j], so
+      between = sum_j rowsum_j (1 - u_j) / (a*b);
+    * adjacent chain: D[p_i, p_{i+1}] = sum_j A[..., i, j] Pi[..., i+1, j]
+      — an elementwise product + reduce instead of 20M scalar gathers
+      (TPU gathers ran ~70 M/s and dominated the chunk; the matmul form
+      is pure MXU/VPU work).
+    """
+    B, m = distf.shape[0], distf.shape[-1]
+    u = jax.random.uniform(key, (B, chunk, m), dtype=jnp.float32)
+    perm = jnp.argsort(u, axis=-1)               # [B, K, m]
+
+    pi = jax.nn.one_hot(perm, m, dtype=jnp.float32)   # [B, K, m, m]
+    a = jax.lax.dot_general(
+        pi.reshape(B, chunk * m, m),
+        distf,
+        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    ).reshape(B, chunk, m, m)                     # A[..., i, :] = D[p_i, :]
+
+    ua = jnp.sum(pi[..., :asize, :], axis=-2)     # [B, K, m]
+    rowsum = jnp.sum(a[..., :asize, :], axis=-2)  # [B, K, m]
+    between = jnp.sum(rowsum * (1.0 - ua), axis=-1) / (asize * bsize)
+
+    d_pairs = jnp.sum(a[..., :-1, :] * pi[..., 1:, :], axis=-1)  # [B,K,m-1]
+    w = chain_weights(asize, bsize).astype(jnp.float32)
+    chain = jnp.sum(d_pairs * w, axis=-1)
+
+    return between - (asize + bsize) * chain       # [B, K]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("asize", "bsize", "chunk", "runs", "threshold"),
+)
+def mc_significance(
+    dist: jnp.ndarray,      # [B, m, m]
+    scores: jnp.ndarray,    # [B] observed CSS
+    key: jax.Array,
+    asize: int,
+    bsize: int,
+    chunk: int,
+    runs: int,
+    threshold: int,
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Full adaptive permutation MC for one window batch, on device.
+
+    Returns (pvals [B] f64, nscores [B] i32, hits [B] i32) with the
+    reference estimator: stop a window at its ``threshold``-th hit
+    (n = that permutation's 1-based index) or at ``runs``;
+    p = (hits+1)/(n+1) (css.c:727-752)."""
+    B = dist.shape[0]
+    distf = dist.astype(jnp.float32)
+    scoresf = scores.astype(jnp.float32)
+    n_chunks = (runs + chunk - 1) // chunk
+
+    def cond(carry):
+        k, hits, nsc, done = carry
+        return (k < n_chunks) & ~jnp.all(done)
+
+    def body(carry):
+        k, hits, nsc, done = carry
+        new_scores = _perm_scores(
+            distf, jax.random.fold_in(key, k), asize, bsize, chunk
+        )
+        offset = k * chunk
+        counted = (offset + jnp.arange(chunk)) < runs       # [K]
+        hit = (new_scores >= scoresf[:, None]) & counted[None, :]
+        cum = jnp.cumsum(hit.astype(jnp.int32), axis=-1)    # [B, K]
+        chunk_hits = cum[:, -1]
+        n_counted = jnp.sum(counted.astype(jnp.int32))
+
+        need = threshold - hits                              # [B]
+        reached = (chunk_hits >= need) & ~done
+        pos = jnp.argmax(cum >= need[:, None], axis=-1).astype(jnp.int32)
+
+        hits = jnp.where(
+            done, hits, jnp.where(reached, threshold, hits + chunk_hits)
+        ).astype(jnp.int32)
+        nsc = jnp.where(
+            done,
+            nsc,
+            jnp.where(reached, offset + pos + 1, offset + n_counted),
+        ).astype(jnp.int32)
+        return k + jnp.int32(1), hits, nsc, done | reached
+
+    zero = jnp.zeros(B, dtype=jnp.int32)
+    _, hits, nsc, _ = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), zero, zero, jnp.zeros(B, dtype=bool))
+    )
+    pvals = (hits + 1.0) / (nsc.astype(jnp.float64) + 1.0)
+    return pvals, nsc, hits
+
+
 @functools.partial(
     jax.jit, static_argnames=("asize", "bsize", "chunk")
 )
@@ -47,41 +160,14 @@ def permutation_chunk(
     bsize: int,
     chunk: int,
 ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """Evaluate ``chunk`` permutations per window.
+    """One fixed-shape chunk of the null (building block / sharded step).
 
     Returns (chunk_hits [B], reached [B] bool, pos [B]) where ``pos`` is
     the 0-based in-chunk index of the permutation that delivered the
     ``need``-th hit (valid only where ``reached``)."""
-    B, m = dist.shape[0], dist.shape[-1]
-
-    # uniform random permutations via argsort of uniforms
-    u = jax.random.uniform(key, (B, chunk, m), dtype=jnp.float32)
-    perm = jnp.argsort(u, axis=-1)               # [B, K, m]
-
-    distf = dist.astype(jnp.float32)
-    # group-A indicator of each permutation
-    ua = jnp.sum(
-        jax.nn.one_hot(perm[..., :asize], m, dtype=jnp.float32), axis=-2
-    )                                             # [B, K, m]
-    rowsum = jax.lax.dot_general(
-        ua,
-        distf,
-        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32,
-    )                                             # [B, K, m]
-    between = jnp.sum(rowsum * (1.0 - ua), axis=-1) / (asize * bsize)
-
-    # adjacent-chain terms: gather D[p_i, p_{i+1}] for consecutive pairs
-    flat = distf.reshape(B, m * m)
-    pair_idx = perm[..., :-1] * m + perm[..., 1:]  # [B, K, m-1]
-    d_pairs = jnp.take_along_axis(
-        flat[:, None, :], pair_idx.reshape(B, -1)[:, None, :], axis=-1
-    ).reshape(B, chunk, m - 1)
-    w = chain_weights(asize, bsize).astype(jnp.float32)
-    chain = jnp.sum(d_pairs * w, axis=-1)
-
-    new_scores = between - (asize + bsize) * chain  # [B, K]
-
+    new_scores = _perm_scores(
+        dist.astype(jnp.float32), key, asize, bsize, chunk
+    )
     counted = jnp.arange(chunk)[None, :] < limit
     hit = (new_scores >= scores[:, None].astype(jnp.float32)) & counted
     cum = jnp.cumsum(hit.astype(jnp.int32), axis=-1)
@@ -105,71 +191,47 @@ def significance(
     threshold: int,
     runs: int,
     key: jax.Array,
-    chunk: int = 4096,
+    chunk: int = 256,
+    window_batch: int = 1024,
 ) -> McResult:
     """Adaptive permutation p-values for a set of windows.
 
-    Drives fixed-shape chunks, compacting finished windows each round.
-    Estimator parity with css.c:727-752: stop at the ``threshold``-th hit
-    (n = its permutation index + 1) or at ``runs``; p = (hits+1)/(n+1).
-    RNG stream is deterministic per (key, window, round) and differs from
-    the wall-clock-seeded reference by design."""
+    Drives :func:`mc_significance` over padded window batches — one
+    device dispatch + one host sync per batch, with the adaptive
+    chunk loop entirely on device."""
     B = len(scores)
-    hits = np.zeros(B, dtype=np.int64)
+    pvals = np.zeros(B, dtype=np.float64)
     nsc = np.zeros(B, dtype=np.int64)
-    done = np.zeros(B, dtype=bool)
-    offset = 0
-    rnd = 0
+    hits = np.zeros(B, dtype=np.int64)
+    if B == 0:
+        return McResult(pvals=pvals, nscores=nsc, hits=hits)
+
     dist_d = jnp.asarray(dist)
-
-    while not done.all() and offset < runs:
-        active = np.nonzero(~done)[0]
-        k_eff = min(chunk, runs - offset)
-        # pad the active set to a power of two to bound recompilation
+    for bi, start in enumerate(range(0, B, window_batch)):
+        sel = np.arange(start, min(start + window_batch, B))
         Bp = 8
-        while Bp < len(active):
+        while Bp < len(sel):
             Bp *= 2
-        pad = Bp - len(active)
-        sel = np.concatenate([active, np.zeros(pad, dtype=np.int64)])
-
-        ch_hits, reached, pos = permutation_chunk(
-            dist_d[sel],
-            jnp.asarray(scores[sel]),
-            jnp.asarray(threshold - hits[sel]),
-            jnp.asarray(k_eff),
-            jax.random.fold_in(key, rnd),
+        pad = Bp - len(sel)
+        sel_p = np.concatenate([sel, np.full(pad, sel[0], dtype=np.int64)])
+        pv, n, h = mc_significance(
+            dist_d[sel_p],
+            jnp.asarray(scores[sel_p]),
+            jax.random.fold_in(key, bi),
             asize,
             bsize,
             chunk,
+            runs,
+            threshold,
         )
-        # one host sync per round (pack into a single device array; a
-        # pytree device_get fetches leaf-by-leaf, one round trip each);
-        # block before packing — see fet_engine on the slow path for
-        # eager ops over in-flight inputs
-        jax.block_until_ready((ch_hits, reached, pos))
+        jax.block_until_ready(pv)
         packed = jax.device_get(
             jnp.stack(
-                [
-                    ch_hits.astype(jnp.int64),
-                    reached.astype(jnp.int64),
-                    pos.astype(jnp.int64),
-                ]
+                [pv, n.astype(jnp.float64), h.astype(jnp.float64)]
             )
         )
-        ch_hits = packed[0, : len(active)]
-        reached = packed[1, : len(active)].astype(bool)
-        pos = packed[2, : len(active)]
+        pvals[sel] = packed[0, : len(sel)]
+        nsc[sel] = packed[1, : len(sel)].astype(np.int64)
+        hits[sel] = packed[2, : len(sel)].astype(np.int64)
 
-        fin = active[reached]
-        hits[fin] = threshold
-        nsc[fin] = offset + pos[reached] + 1
-        done[fin] = True
-
-        cont = active[~reached]
-        hits[cont] += ch_hits[~reached]
-        offset += k_eff
-        nsc[cont] = offset
-        rnd += 1
-
-    pvals = (hits + 1.0) / (nsc + 1.0)
     return McResult(pvals=pvals, nscores=nsc, hits=hits)

@@ -46,7 +46,14 @@ def test_css_engine_matches_oracle(panel, pair):
     assert (pvals[nz] > 0).all()
     assert ((pvals == 0) == (want_p == 0)).all()
     # MC agreement within generous statistical bounds
-    assert np.corrcoef(pvals[nz], want_p[nz])[0, 1] > 0.9
+    # Per-window agreement: both estimates stop at ~10 hits, so each has
+    # relative sd ~ 1/sqrt(10); with independent RNG streams the ratio
+    # stays within a generous x6 band (>5 sigma) and the median ratio
+    # near 1.  (Correlation is meaningless when most windows share the
+    # same p.)
+    ratio = pvals[nz] / want_p[nz]
+    assert (ratio > 1 / 6).all() and (ratio < 6).all(), ratio
+    assert 0.7 < np.median(ratio) < 1.4
 
 
 def test_css_engine_smacof_runs(pair):
