@@ -21,6 +21,7 @@ import argparse
 import json
 import sys
 import time
+from pathlib import Path
 
 
 def _read_population(args) -> list[str]:
@@ -98,11 +99,77 @@ def _mesh_sharding(args):
     return window_sharding(make_mesh())
 
 
+def _run_engine(args, engine, cfg, columns) -> None:
+    """Shared driver for run-fet / run-css.
+
+    Per-chromosome part files make a failed genome-wide run resumable at
+    chromosome granularity (SURVEY.md §5 failure model: per-job restart,
+    shard = chromosome); ``--profile`` wraps the run in a
+    ``jax.profiler`` trace."""
+    import contextlib
+
+    from divergence_tpu.io import write_score_track
+    from divergence_tpu.io.gtrack import read_score_track
+    from divergence_tpu.utils.summary import RunSummary
+
+    pairs, _ = _load_pairs(args)
+    pairs = _host_filter(pairs, args)
+    sharding = _mesh_sharding(args)
+    summary = RunSummary(name=args.cmd)
+
+    parts_dir = None
+    if args.resume:
+        parts_dir = Path(args.out + ".parts")
+        parts_dir.mkdir(exist_ok=True)
+
+    profile_ctx = contextlib.nullcontext()
+    if args.profile:
+        import jax
+
+        profile_ctx = jax.profiler.trace(args.profile)
+
+    results = {}
+    t0 = time.perf_counter()
+    total_windows = 0
+    with profile_ctx:
+        for seqid, (pair, regend) in pairs.items():
+            part = parts_dir / f"{seqid}.tsv" if parts_dir else None
+            if part is not None and part.exists():
+                _, starts, c2, c3 = read_score_track(part)
+                nslots = cfg.window.num_slots(regend)
+                import numpy as np
+
+                s = np.zeros(nslots)
+                x = np.zeros(nslots)
+                slots = starts // cfg.window.wstep
+                s[slots] = c2
+                x[slots] = c3
+                results[seqid] = (s, x)
+                print(f"{seqid}: resumed from {part}")
+                continue
+            with summary.stage(seqid):
+                results[seqid] = engine(
+                    pair, regend, cfg, sharding=sharding, summary=summary
+                )
+            nw = int((results[seqid][0] != 0).sum())
+            total_windows += nw
+            print(f"{seqid}: {pair.npos} SNPs, {nw} scored windows")
+            if part is not None:
+                write_score_track(
+                    part, {seqid: results[seqid]}, cfg.window.wstep, columns
+                )
+    elapsed = time.perf_counter() - t0
+    summary.counters["total_s"] = round(elapsed, 3)
+    summary.counters["windows_per_s"] = round(total_windows / elapsed, 1)
+    write_score_track(args.out, results, cfg.window.wstep, columns)
+    print(f"wrote {args.out}")
+    if args.summary:
+        summary.write(args.summary)
+
+
 def cmd_run_fet(args) -> None:
     from divergence_tpu.config import FetConfig, WindowConfig
     from divergence_tpu.engine import run_fet
-    from divergence_tpu.io import write_score_track
-    from divergence_tpu.utils.summary import RunSummary
 
     cfg = FetConfig(
         window=WindowConfig(wsize=args.wsize, wstep=args.wstep),
@@ -110,33 +177,12 @@ def cmd_run_fet(args) -> None:
         bootstrap_samples=args.bootstrap_samples,
         seed=args.seed,
     )
-    pairs, _ = _load_pairs(args)
-    pairs = _host_filter(pairs, args)
-    sharding = _mesh_sharding(args)
-    summary = RunSummary(name="run-fet")
-    results = {}
-    t0 = time.perf_counter()
-    for seqid, (pair, regend) in pairs.items():
-        with summary.stage(seqid):
-            results[seqid] = run_fet(
-                pair, regend, cfg, sharding=sharding, summary=summary
-            )
-        print(
-            f"{seqid}: {pair.npos} SNPs, "
-            f"{int((results[seqid][0] != 0).sum())} scored windows"
-        )
-    summary.counters["total_s"] = round(time.perf_counter() - t0, 3)
-    write_score_track(args.out, results, cfg.window.wstep)
-    print(f"wrote {args.out}")
-    if args.summary:
-        summary.write(args.summary)
+    _run_engine(args, run_fet, cfg, ("score", "stddev"))
 
 
 def cmd_run_css(args) -> None:
     from divergence_tpu.config import CssConfig, MdsAlgorithm, WindowConfig
     from divergence_tpu.engine import run_css
-    from divergence_tpu.io import write_score_track
-    from divergence_tpu.utils.summary import RunSummary
 
     mds = {
         "cmds": MdsAlgorithm.CMDS,
@@ -152,26 +198,7 @@ def cmd_run_css(args) -> None:
         seed=args.seed,
         mc_chunk=args.mc_chunk,
     )
-    pairs, _ = _load_pairs(args)
-    pairs = _host_filter(pairs, args)
-    sharding = _mesh_sharding(args)
-    summary = RunSummary(name="run-css")
-    results = {}
-    t0 = time.perf_counter()
-    for seqid, (pair, regend) in pairs.items():
-        with summary.stage(seqid):
-            results[seqid] = run_css(
-                pair, regend, cfg, sharding=sharding, summary=summary
-            )
-        print(
-            f"{seqid}: {pair.npos} SNPs, "
-            f"{int((results[seqid][0] != 0).sum())} scored windows"
-        )
-    summary.counters["total_s"] = round(time.perf_counter() - t0, 3)
-    write_score_track(args.out, results, cfg.window.wstep, columns=("score", "p"))
-    print(f"wrote {args.out}")
-    if args.summary:
-        summary.write(args.summary)
+    _run_engine(args, run_css, cfg, ("score", "p"))
 
 
 def cmd_filter_fet(args) -> None:
@@ -261,6 +288,17 @@ def _add_run_common(p: argparse.ArgumentParser) -> None:
     )
     p.add_argument("--num-hosts", type=int, default=1)
     p.add_argument("--host-id", type=int, default=0)
+    p.add_argument(
+        "--resume",
+        action="store_true",
+        help="keep per-chromosome part files next to --out and skip "
+        "chromosomes already completed by a previous (failed) run",
+    )
+    p.add_argument(
+        "--profile",
+        default=None,
+        help="write a jax.profiler trace to this directory",
+    )
 
 
 def build_parser() -> argparse.ArgumentParser:

@@ -227,3 +227,24 @@ def test_convert_snp_table(tmp_path):
         "chrI\t200\t-10000\tfish1",
         "chrI\t200\t0\tfish2",
     ]
+
+
+def test_cli_resume_parts(toy_vcf):
+    tmp, vcf, sizes, anames, bnames = toy_vcf
+    args = [
+        "run-fet",
+        "--pop-a", str(tmp / "popA.gtrack"),
+        "--pop-b", str(tmp / "popB.gtrack"),
+        "--out", str(tmp / "fet_resume.track"),
+        "--chrom-sizes", str(sizes),
+        "--resume",
+    ]
+    cli_main(args)
+    first = (tmp / "fet_resume.track").read_text()
+    part = tmp / "fet_resume.track.parts" / "chrT.tsv"
+    assert part.exists()
+    # second run resumes from the part file and reproduces the output
+    cli_main(args)
+    assert (tmp / "fet_resume.track").read_text() == first
+    # identical to a non-resume run
+    assert first == (tmp / "fet.track").read_text()
