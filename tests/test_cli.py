@@ -248,3 +248,36 @@ def test_cli_resume_parts(toy_vcf):
     assert (tmp / "fet_resume.track").read_text() == first
     # identical to a non-resume run
     assert first == (tmp / "fet.track").read_text()
+
+
+def test_cli_drosophila_mode(tmp_path):
+    """Frequency-track (drosophila) mode through the CLI: one pseudo-
+    individual per population, values = minor-allele frequencies."""
+    rng = np.random.default_rng(23)
+    pos = np.sort(rng.choice(np.arange(100, 10_000), 150, replace=False))
+    for name, seed in (("freqA", 1), (("freqB"), 2)):
+        r = np.random.default_rng(seed)
+        with open(tmp_path / f"{name}.gtrack", "w") as fh:
+            fh.write("###seqid\tstart\tvalue\tgenomeid\n")
+            for p in pos:
+                fh.write(f"chrT\t{p}\t{r.uniform():.4f}\tpop\n")
+    (tmp_path / "chrom.sizes").write_text("chrT\t10000\n")
+    cli_main(
+        [
+            "run-css",
+            "--pop-a", str(tmp_path / "freqA.gtrack"),
+            "--pop-b", str(tmp_path / "freqB.gtrack"),
+            "--out", str(tmp_path / "css_dros.track"),
+            "--chrom-sizes", str(tmp_path / "chrom.sizes"),
+            "--drosophila",
+            "--mc-runs", "500",
+        ]
+    )
+    rows = [
+        ln.split("\t")
+        for ln in (tmp_path / "css_dros.track").read_text().splitlines()
+        if ln and not ln.startswith("#")
+    ]
+    assert len(rows) > 5
+    # reference quirk: p == 1 for every scored window in drosophila mode
+    assert all(float(r[3]) == 1.0 for r in rows)

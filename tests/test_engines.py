@@ -91,3 +91,37 @@ def test_misaligned_populations_rejected():
             np.zeros(6), np.zeros(4), np.array([1, 1, 2, 2, 3, 3]),
             np.array([1, 1, 4, 4]), 2, 2,
         )
+
+
+def test_drosophila_engine_matches_oracle(rng):
+    """Frequency-track mode end-to-end: 2 pseudo-individuals whose values
+    are minor-allele frequencies (reference css.c:245-264); permutation
+    p == 1 for every scored window (2-element permutations always tie)."""
+    from divergence_tpu.config import CssConfig
+
+    npos, region = 300, 20_000
+    positions = np.sort(
+        rng.choice(np.arange(1, region), npos, replace=False)
+    )
+    fa = rng.uniform(0.0, 1.0, (npos, 1))
+    fb = rng.uniform(0.0, 1.0, (npos, 1))
+    pair = SnpPair(positions=positions, avals=fa, bvals=fb)
+    cfg = CssConfig(window=WCFG, drosophila=True, mc_runs=500)
+    scores, pvals = run_css(pair, region, cfg)
+
+    want_s, want_p = orc.compute_css(
+        fa.ravel(),
+        fb.ravel(),
+        positions,
+        positions,
+        region,
+        WCFG.wsize,
+        WCFG.wstep,
+        runs=500,
+        drosophila=True,
+    )
+    np.testing.assert_allclose(scores, want_s, rtol=1e-9, atol=1e-12)
+    nz = scores != 0
+    assert nz.any()
+    np.testing.assert_allclose(pvals[nz], 1.0)
+    np.testing.assert_allclose(want_p[nz], 1.0)
