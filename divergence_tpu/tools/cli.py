@@ -201,6 +201,12 @@ def cmd_run_css(args) -> None:
     _run_engine(args, run_css, cfg, ("score", "p"))
 
 
+def _cmd_bench_scaling(args) -> None:
+    from divergence_tpu.tools.bench_scaling import main as bench_main
+
+    bench_main(args)
+
+
 def cmd_filter_fet(args) -> None:
     from divergence_tpu.config import FetFilterConfig
     from divergence_tpu.io import read_score_track, write_segments_track
@@ -343,6 +349,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--mc-chunk", type=int, default=4096)
     p.add_argument("--drosophila", action="store_true")
     p.set_defaults(fn=cmd_run_css)
+
+    p = sub.add_parser(
+        "bench-scaling",
+        help="weak-scaling efficiency of the sharded step over 1..N devices",
+    )
+    p.add_argument("--devices", type=int, default=None)
+    p.add_argument("--windows-per-device", type=int, default=256)
+    p.set_defaults(fn=_cmd_bench_scaling)
 
     p = sub.add_parser("filter-fet", help="FET region calling (Burke limit)")
     p.add_argument("--scores", required=True)
