@@ -55,7 +55,10 @@ def main() -> None:
     asize, bsize = 11, 10
     region = 10_000_000
     npos = 200_000
-    cfg = FetConfig()
+    # precision="fast" (f32) is the production configuration on TPU:
+    # scores agree with the f64 path to ~1e-5 relative (docs/PARITY.md)
+    # while f64 is software-emulated on this hardware.
+    cfg = FetConfig(precision="fast")
     w = cfg.window
 
     positions, amat, bmat = make_chromosome(npos, region, asize, bsize, 7)
@@ -117,7 +120,7 @@ def main() -> None:
 
     cpos, camat, cbmat = make_chromosome(10_000, 500_000, asize, bsize, 11)
     cpair = SnpPair(positions=cpos, avals=camat, bvals=cbmat)
-    css_cfg = CssConfig()
+    css_cfg = CssConfig(precision="fast")
     run_css(cpair, 500_000, css_cfg)
     csum = RunSummary()
     t0 = time.perf_counter()

@@ -80,11 +80,19 @@ class FetConfig:
     seed: int = 0                 # deterministic RNG stream (reference is
                                   # wall-clock seeded; see SURVEY.md §5)
 
+    # "exact": float64 end-to-end — bit-comparable to the reference's C
+    # doubles (f64 is software-emulated on most TPUs).  "fast": float32
+    # compute — scores agree with exact to ~1e-5 relative, p-value
+    # distribution unchanged; ~2x throughput per chip (docs/PARITY.md).
+    precision: str = "exact"
+
     def __post_init__(self) -> None:
         if not 0.0 <= self.percentile <= 1.0:
             raise ValueError("percentile must be in [0, 1]")
         if self.bootstrap_samples <= 1:
             raise ValueError("bootstrap_samples must be > 1")
+        if self.precision not in ("exact", "fast"):
+            raise ValueError("precision must be 'exact' or 'fast'")
 
 
 @dataclasses.dataclass(frozen=True)
@@ -118,11 +126,18 @@ class CssConfig:
     # Bounds the [window_batch, mc_chunk, m, m] one-hot/matmul buffers.
     mc_chunk: int = 256
 
+    # "exact": float64 scoring (reference C doubles); "fast": float32
+    # (scores to ~1e-5 relative; the permutation MC is float32 in both
+    # modes).  See docs/PARITY.md.
+    precision: str = "exact"
+
     def __post_init__(self) -> None:
         if self.mc_threshold <= 0 or self.mc_runs <= 0:
             raise ValueError("mc_threshold and mc_runs must be positive")
         if self.mc_chunk <= 0:
             raise ValueError("mc_chunk must be positive")
+        if self.precision not in ("exact", "fast"):
+            raise ValueError("precision must be 'exact' or 'fast'")
 
 
 @dataclasses.dataclass(frozen=True)

@@ -94,6 +94,7 @@ def run_css(
             smacof_iters=cfg.smacof.max_iters,
             smacof_inits=cfg.smacof.n_init,
             smacof_eps=cfg.smacof.epsilon,
+            fast=cfg.precision == "fast",
         )
         pending.append((bucket, s, dist, valid))
 

@@ -117,6 +117,7 @@ def run_fet(
             nsamples=cfg.bootstrap_samples,
             maxs=maxs,
             nmax=nmax,
+            fast=cfg.precision == "fast",
         )
         pending.append((bucket.slot, Bw, s, d))
 

@@ -229,7 +229,7 @@ def smacof_runs(
 
 @functools.partial(
     jax.jit, static_argnames=("asize", "bsize", "drosophila", "mds",
-                              "smacof_iters", "smacof_inits")
+                              "smacof_iters", "smacof_inits", "fast")
 )
 def css_window_batch(
     avals: jnp.ndarray,    # [B, P, asize]
@@ -243,6 +243,7 @@ def css_window_batch(
     smacof_iters: int = 300,
     smacof_inits: int = 4,
     smacof_eps: float = 1e-6,
+    fast: bool = False,    # float32 compute (config precision="fast")
 ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """CSS scores for one padded bucket of windows.
 
@@ -251,6 +252,7 @@ def css_window_batch(
     and their distance matrix is meaningless (callers skip them).  The
     drosophila path scores 2 pseudo-individuals on frequency tracks
     (css.c:245-264, asize == bsize == 1)."""
+    dtype = jnp.float32 if fast else jnp.float64
     P = avals.shape[1]
     snp_mask = jnp.arange(P)[None, :] < npos[:, None]
 
@@ -261,6 +263,7 @@ def css_window_batch(
         vals = jnp.concatenate([avals, bvals], axis=-1)
         dis = dissimilarity_counts(vals, snp_mask)
         a_sz, b_sz = asize, bsize
+    dis = dis.astype(dtype)
 
     filled, keep = fill_averages(dis)
 

@@ -28,7 +28,9 @@ percentile :136-144, calc_std :590-597) with fixed-shape vector math:
   identical in distribution, far lighter on HBM.
 
 Shapes: a bucket is [B, P, size] — B windows, P padded SNPs.
-Probability math runs in float64 (the reference is all C doubles).
+Probability math runs in float64 by default (the reference is all C
+doubles); ``fast=True`` switches the whole pipeline to float32 — ~1e-5
+relative score accuracy, ~2x throughput on TPUs whose f64 is emulated.
 """
 
 from __future__ import annotations
@@ -80,13 +82,15 @@ def _shift_min_first(f: jnp.ndarray) -> jnp.ndarray:
     )
 
 
-def fet_two_tailed(tables: jnp.ndarray, maxs: int, nmax: int) -> jnp.ndarray:
+def fet_two_tailed(
+    tables: jnp.ndarray, maxs: int, nmax: int, dtype=jnp.float64
+) -> jnp.ndarray:
     """Two-tailed FET p for a batch of 2x2 tables.
 
     ``tables``: [..., 4] int32; ``maxs``: static support bound;
     ``nmax``: static max total count (for the log-factorial table).
-    Returns [...] float64 p-values, Zar-shortcut semantics."""
-    lf = jnp.asarray(_log_factorials(nmax), dtype=jnp.float64)
+    Returns [...] p-values in ``dtype``, Zar-shortcut semantics."""
+    lf = jnp.asarray(_log_factorials(nmax), dtype=dtype)
 
     def lchoose(n, k):
         ok = (k >= 0) & (k <= n) & (n >= 0)
@@ -130,7 +134,8 @@ def fet_two_tailed(tables: jnp.ndarray, maxs: int, nmax: int) -> jnp.ndarray:
     # tie rule (see oracle.reference.FET_TIE_RTOL); the reference's own
     # tie behavior is FP-rounding-dependent.  valid-suffix AND: a position
     # contributes iff no table at >= x fails the comparison.
-    bad = (p > p0 * (1.0 + 1e-12)) & valid
+    tie_rtol = 1e-12 if dtype == jnp.float64 else 1e-5
+    bad = (p > p0 * (1.0 + tie_rtol)) & valid
     blocked = jnp.flip(
         jnp.cumsum(jnp.flip(bad, axis=-1).astype(jnp.int32), axis=-1), axis=-1
     )
@@ -141,15 +146,15 @@ def fet_two_tailed(tables: jnp.ndarray, maxs: int, nmax: int) -> jnp.ndarray:
     return jnp.minimum(total, 1.0)
 
 
-def _interp_ranks(npos: jnp.ndarray, perc: jnp.ndarray):
+def _interp_ranks(npos: jnp.ndarray, perc: jnp.ndarray, dtype=jnp.float64):
     """(idx, hi_idx, delta) of the reference's interpolated percentile
     (cFisher.c:136-144): with ascending order statistics s[.],
     result = (1-d)*s[idx] + d*s[hi_idx], idx = int((n-1)*perc),
     hi_idx = min(idx+1, n-1)."""
-    nf = npos.astype(jnp.float64)
-    xpos = (nf - 1.0) * perc
+    nf = npos.astype(dtype)
+    xpos = (nf - 1.0) * perc.astype(dtype)
     idx = jnp.floor(xpos).astype(jnp.int32)
-    delta = xpos - idx.astype(jnp.float64)
+    delta = xpos - idx.astype(dtype)
     hi_idx = jnp.minimum(idx + 1, jnp.maximum(npos - 1, 0)).astype(jnp.int32)
     return idx, hi_idx, delta
 
@@ -165,32 +170,36 @@ def _sorted_pick(sorted_asc: jnp.ndarray, npos: jnp.ndarray, rank: jnp.ndarray):
     return jnp.take_along_axis(sorted_asc, pos, axis=-1)
 
 
-@functools.partial(jax.jit, static_argnames=("nsamples", "maxs", "nmax"))
+@functools.partial(
+    jax.jit, static_argnames=("nsamples", "maxs", "nmax", "fast")
+)
 def fet_window_batch(
     avals: jnp.ndarray,       # [B, P, asize] genotype codes (any float/int)
     bvals: jnp.ndarray,       # [B, P, bsize]
     npos: jnp.ndarray,        # [B] true SNP count per window
-    perc: jnp.ndarray,        # scalar f64
+    perc: jnp.ndarray,        # scalar
     key: jax.Array,           # PRNG key for the bootstrap
     nsamples: int,
     maxs: int,
     nmax: int,
+    fast: bool = False,       # float32 compute (config precision="fast")
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """FET scores + bootstrap stddev for one padded bucket of windows.
 
     Padding rows (snp index >= npos) never influence the result: their
     scores are pinned to -inf, which sorts to the front of the ascending
     order, and all rank arithmetic offsets past them."""
+    dtype = jnp.float32 if fast else jnp.float64
     B, P = avals.shape[0], avals.shape[1]
     tables = count_tables(avals, bvals)          # [B, P, 4]
-    pvals = fet_two_tailed(tables, maxs, nmax)   # [B, P]
+    pvals = fet_two_tailed(tables, maxs, nmax, dtype=dtype)   # [B, P]
     logs = -jnp.log10(pvals)
 
     snp_mask = jnp.arange(P)[None, :] < npos[:, None]
-    neg = jnp.float64(-jnp.inf)
+    neg = dtype(-jnp.inf)
     logs_sorted = jnp.sort(jnp.where(snp_mask, logs, neg), axis=-1)
 
-    idx, hi_idx, delta = _interp_ranks(npos, perc)
+    idx, hi_idx, delta = _interp_ranks(npos, perc, dtype=dtype)
     v_lo = _sorted_pick(logs_sorted, npos, idx[..., None])[..., 0]
     v_hi = _sorted_pick(logs_sorted, npos, hi_idx[..., None])[..., 0]
     scores = (1.0 - delta) * v_lo + delta * v_hi
@@ -205,16 +214,16 @@ def fet_window_batch(
     # when the reference clamps hi_idx == idx (n == 1 or perc == 1).
     # The resample's order statistic X_(k) = empirical quantile at U_(k)
     # = sorted[ceil(n·U_(k)) - 1].
-    nf = npos.astype(jnp.float64)[:, None]                  # [B, 1]
-    k1 = (idx + 1).astype(jnp.float64)[:, None]             # [B, 1]
+    nf = npos.astype(dtype)[:, None]                        # [B, 1]
+    k1 = (idx + 1).astype(dtype)[:, None]                   # [B, 1]
     ku, kv = jax.random.split(key)
     shape = (B, nsamples)
     a1 = jnp.broadcast_to(k1, shape)
     b1 = jnp.broadcast_to(jnp.maximum(nf - k1 + 1.0, 1.0), shape)
-    u1 = jax.random.beta(ku, a1, b1, dtype=jnp.float64)
+    u1 = jax.random.beta(ku, a1, b1, dtype=dtype)
     rem = jnp.maximum(nf - k1, 1.0)
     b2 = jnp.broadcast_to(rem, shape)
-    g = jax.random.beta(kv, jnp.ones(shape, jnp.float64), b2, dtype=jnp.float64)
+    g = jax.random.beta(kv, jnp.ones(shape, dtype), b2, dtype=dtype)
     u2 = u1 + (1.0 - u1) * g
 
     def rank_of(u):

@@ -125,3 +125,26 @@ def test_drosophila_engine_matches_oracle(rng):
     assert nz.any()
     np.testing.assert_allclose(pvals[nz], 1.0)
     np.testing.assert_allclose(want_p[nz], 1.0)
+
+
+def test_fast_precision_mode(panel, pair):
+    """precision='fast' (float32 compute): scores agree with the exact
+    path to ~1e-5 relative, structure (zero/nonzero pattern) identical."""
+    s64, d64 = run_fet(pair, REGEND, FetConfig(window=WCFG))
+    s32, d32 = run_fet(
+        pair, REGEND, FetConfig(window=WCFG, precision="fast")
+    )
+    np.testing.assert_array_equal(s64 != 0, s32 != 0)
+    nz = s64 != 0
+    np.testing.assert_allclose(s32[nz], s64[nz], rtol=2e-4)
+    assert (d32[nz] >= 0).all()
+
+    c64, p64 = run_css(pair, REGEND, CssConfig(window=WCFG, mc_runs=500))
+    c32, p32 = run_css(
+        pair,
+        REGEND,
+        CssConfig(window=WCFG, mc_runs=500, precision="fast"),
+    )
+    nz = c64 != 0
+    np.testing.assert_array_equal(c64 != 0, c32 != 0)
+    np.testing.assert_allclose(c32[nz], c64[nz], rtol=2e-3, atol=1e-4)
