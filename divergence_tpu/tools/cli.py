@@ -203,6 +203,21 @@ def cmd_run_css(args) -> None:
     _run_engine(args, run_css, cfg, ("score", "p"))
 
 
+def _cmd_report(args) -> None:
+    from divergence_tpu.tools.report import write_report
+
+    write_report(
+        args.out,
+        fet_track=args.fet_track,
+        css_track=args.css_track,
+        fet_regions=args.fet_regions,
+        css_regions=args.css_regions,
+        summary_json=args.run_summary,
+        title=args.title,
+    )
+    print(f"wrote {args.out}")
+
+
 def _cmd_bench_scaling(args) -> None:
     from divergence_tpu.tools.bench_scaling import main as bench_main
 
@@ -358,6 +373,18 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--mc-chunk", type=int, default=4096)
     p.add_argument("--drosophila", action="store_true")
     p.set_defaults(fn=cmd_run_css)
+
+    p = sub.add_parser(
+        "report", help="self-contained HTML summary of score tracks/regions"
+    )
+    p.add_argument("--fet-track", default=None)
+    p.add_argument("--css-track", default=None)
+    p.add_argument("--fet-regions", default=None)
+    p.add_argument("--css-regions", default=None)
+    p.add_argument("--run-summary", default=None, help="run-summary JSON file")
+    p.add_argument("--out", required=True)
+    p.add_argument("--title", default="divergence_tpu run report")
+    p.set_defaults(fn=_cmd_report)
 
     p = sub.add_parser(
         "bench-scaling",

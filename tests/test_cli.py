@@ -281,3 +281,21 @@ def test_cli_drosophila_mode(tmp_path):
     assert len(rows) > 5
     # reference quirk: p == 1 for every scored window in drosophila mode
     assert all(float(r[3]) == 1.0 for r in rows)
+
+
+def test_cli_report(toy_vcf, tmp_path):
+    tmp, vcf, sizes, anames, bnames = toy_vcf
+    out = tmp_path / "report.html"
+    cli_main(
+        [
+            "report",
+            "--fet-track", str(tmp / "fet.track"),
+            "--css-track", str(tmp / "css.track"),
+            "--out", str(out),
+        ]
+    )
+    doc = out.read_text()
+    assert "<html>" in doc
+    assert "FET score track" in doc and "CSS score track" in doc
+    assert "Top 20 windows" in doc
+    assert "chrT" in doc

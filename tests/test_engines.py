@@ -148,3 +148,32 @@ def test_fast_precision_mode(panel, pair):
     nz = c64 != 0
     np.testing.assert_array_equal(c64 != 0, c32 != 0)
     np.testing.assert_allclose(c32[nz], c64[nz], rtol=2e-3, atol=1e-4)
+
+
+def test_large_chromosome_batch_split(rng):
+    """More windows than one device batch (max_batch=4096): the engine
+    splits into multiple batches and still fills every slot correctly."""
+    region = 2_600_000
+    npos = 9000
+    positions = np.sort(
+        rng.choice(np.arange(1, region, dtype=np.int64), npos, replace=False)
+    )
+    av = rng.choice([3.0, -3.0, 0.0], size=(npos, 3))
+    bv = rng.choice([3.0, -3.0, 0.0], size=(npos, 3))
+    pair = SnpPair(positions=positions, avals=av, bvals=bv)
+    cfg = FetConfig(window=WCFG, bootstrap_samples=4)
+    scores, stddev = run_fet(pair, region, cfg)
+    assert len(scores) == region // WCFG.wstep
+    # spot-check a handful of windows against the oracle
+    from divergence_tpu.core.windows import plan_windows
+
+    plan = plan_windows(positions, region, WCFG.wsize, WCFG.wstep)
+    valid = np.nonzero(plan.valid_mask())[0]
+    assert len(valid) > 4200, "fixture must exceed one 4096 batch"
+    for i in rng.choice(valid, 12, replace=False):
+        lo, n = int(plan.lo[i]), int(plan.npos[i])
+        want, _, _ = orc.window_fet(
+            av[lo : lo + n], bv[lo : lo + n], 0.95, 2
+        )
+        got = scores[plan.slot[i]]
+        assert got == pytest.approx(want, rel=1e-9, abs=1e-12)
