@@ -161,10 +161,12 @@ def run_css(
     scores[slots] = svals
     pvals[slots] = mc.pvals
     if summary is not None:
-        summary.counters.update(
-            windows_planned=plan.num_windows,
-            windows_scored=len(svals),
-            windows_discarded=n_discarded,
-            mc_permutations=int(mc.nscores.sum()),
+        # accumulate across chromosomes (one summary spans a whole run)
+        c = summary.counters
+        c["windows_planned"] = c.get("windows_planned", 0) + plan.num_windows
+        c["windows_scored"] = c.get("windows_scored", 0) + len(svals)
+        c["windows_discarded"] = c.get("windows_discarded", 0) + n_discarded
+        c["mc_permutations"] = c.get("mc_permutations", 0) + int(
+            mc.nscores.sum()
         )
     return scores, pvals

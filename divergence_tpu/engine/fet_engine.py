@@ -82,11 +82,13 @@ def run_fet(
         max_batch=4096,
     )
     if summary is not None:
-        summary.counters["windows_planned"] = plan.num_windows
-        summary.counters["windows_evaluated"] = int(
+        # accumulate across chromosomes (one summary spans a whole run)
+        c = summary.counters
+        c["windows_planned"] = c.get("windows_planned", 0) + plan.num_windows
+        c["windows_evaluated"] = c.get("windows_evaluated", 0) + int(
             sum(len(b.window_ids) for b in buckets)
         )
-        summary.counters["buckets"] = len(buckets)
+        c["buckets"] = c.get("buckets", 0) + len(buckets)
 
     # dispatch every bucket asynchronously; materialize with ONE host sync
     # at the end (each blocking device->host read costs a full round trip,
