@@ -31,32 +31,25 @@ def _pad_batch(n: int) -> int:
     return p
 
 
-def run_css(
+def _css_phase1_dispatch(
     pair: SnpPair,
     regend: int,
-    cfg: CssConfig | None = None,
-    sharding=None,
-    summary: RunSummary | None = None,
-) -> tuple[np.ndarray, np.ndarray]:
-    """CSS scan of one chromosome.
+    cfg: CssConfig,
+    sharding,
+    key: jax.Array,
+):
+    """Enqueue the score/distance kernels for one chromosome (no sync).
 
-    Returns (scores, pvals) of ``regend // wstep`` slots (reference
-    statistics/CategoryClusterSeparationStat.py:70-80).  Discarded or
-    empty windows keep score 0 / p 0."""
-    cfg = cfg or CssConfig()
+    Returns (nslots, num_windows, pending) with pending =
+    [(bucket, s_dev, dist_dev, valid_dev)]."""
     w = cfg.window
     plan = plan_windows(pair.positions, regend, w.wsize, w.wstep)
     nslots = plan.nslots
-    scores = np.zeros(nslots, dtype=np.float64)
-    pvals = np.zeros(nslots, dtype=np.float64)
     if plan.num_windows == 0 or pair.npos == 0:
-        return scores, pvals
+        return nslots, plan.num_windows, []
 
     asize, bsize = pair.asize, pair.bsize
-    m = 2 if cfg.drosophila else asize + bsize
     avals_d, bvals_d = pair.device_values()
-    key = jax.random.PRNGKey(cfg.seed)
-
     in_slots = plan.slot < nslots
     buckets = bucketize(
         plan.lo,
@@ -97,18 +90,17 @@ def run_css(
             fast=cfg.precision == "fast",
         )
         pending.append((bucket, s, dist, valid))
+    return nslots, plan.num_windows, pending
 
-    all_slots: list[np.ndarray] = []
-    all_scores: list[np.ndarray] = []
-    all_dist: list[np.ndarray] = []
-    n_discarded = 0
-    # pack (dist | score | valid) per window into one [sumB, m*m+2] array:
-    # a single device->host round trip for the whole phase.  Block on the
-    # in-flight kernels first (see fet_engine: eager ops over still-
-    # executing inputs hit a slow path on remote-device backends).
-    if not pending:
-        return scores, pvals
-    jax.block_until_ready([s for _, s, _, _ in pending])
+
+def _css_phase1_fetch(all_pending, m: int):
+    """ONE host sync for any number of chromosomes' phase-1 buckets.
+
+    Packs (dist | score | valid) per window into one [sumB, m*m+2] device
+    array (a pytree device_get fetches leaf-by-leaf); blocks on the
+    in-flight kernels first (eager ops over still-executing inputs hit a
+    slow path on remote-device backends).  Returns the fetched rows."""
+    jax.block_until_ready([s for _, s, _, _ in all_pending])
     packed = jnp.concatenate(
         [
             jnp.concatenate(
@@ -119,11 +111,17 @@ def run_css(
                 ],
                 axis=1,
             )
-            for _, s, d, v in pending
+            for _, s, d, v in all_pending
         ]
     )
-    fetched = jax.device_get(packed)
-    off = 0
+    return jax.device_get(packed)
+
+
+def _css_collect(pending, fetched, m: int, off: int):
+    """Unpack one chromosome's rows: (slots, svals, dists, n_discarded,
+    next offset)."""
+    all_slots, all_scores, all_dist = [], [], []
+    n_discarded = 0
     for bucket, s_d, _, _ in pending:
         Bp = s_d.shape[0]
         Bw = len(bucket.window_ids)
@@ -136,37 +134,127 @@ def run_css(
         all_slots.append(bucket.slot[valid])
         all_scores.append(s[valid])
         all_dist.append(dist[valid])
-
-    if not all_scores or sum(len(s) for s in all_scores) == 0:
-        return scores, pvals
-
-    slots = np.concatenate(all_slots)
-    svals = np.concatenate(all_scores)
-    dists = np.concatenate(all_dist)
-
-    # phase 2: chromosome-wide adaptive permutation MC
-    a_mc = 1 if cfg.drosophila else asize
-    b_mc = 1 if cfg.drosophila else bsize
-    mc = kperm.significance(
-        dists,
-        svals,
-        a_mc,
-        b_mc,
-        cfg.mc_threshold,
-        cfg.mc_runs,
-        jax.random.fold_in(key, 2),
-        chunk=cfg.mc_chunk,
+    if not all_scores:
+        return (
+            np.zeros(0, np.int64),
+            np.zeros(0),
+            np.zeros((0, m, m)),
+            n_discarded,
+            off,
+        )
+    return (
+        np.concatenate(all_slots),
+        np.concatenate(all_scores),
+        np.concatenate(all_dist),
+        n_discarded,
+        off,
     )
 
-    scores[slots] = svals
-    pvals[slots] = mc.pvals
-    if summary is not None:
-        # accumulate across chromosomes (one summary spans a whole run)
-        c = summary.counters
-        c["windows_planned"] = c.get("windows_planned", 0) + plan.num_windows
-        c["windows_scored"] = c.get("windows_scored", 0) + len(svals)
-        c["windows_discarded"] = c.get("windows_discarded", 0) + n_discarded
-        c["mc_permutations"] = c.get("mc_permutations", 0) + int(
-            mc.nscores.sum()
+
+def run_css(
+    pair: SnpPair,
+    regend: int,
+    cfg: CssConfig | None = None,
+    sharding=None,
+    summary: RunSummary | None = None,
+) -> tuple[np.ndarray, np.ndarray]:
+    """CSS scan of one chromosome.
+
+    Returns (scores, pvals) of ``regend // wstep`` slots (reference
+    statistics/CategoryClusterSeparationStat.py:70-80).  Discarded or
+    empty windows keep score 0 / p 0."""
+    cfg = cfg or CssConfig()
+    results = run_css_multi(
+        {"_": (pair, regend)}, cfg, sharding=sharding, summary=summary
+    )
+    return results["_"]
+
+
+def run_css_multi(
+    pairs: dict[str, tuple[SnpPair, int]],
+    cfg: CssConfig | None = None,
+    sharding=None,
+    summary: RunSummary | None = None,
+) -> dict[str, tuple[np.ndarray, np.ndarray]]:
+    """Genome-wide CSS: phase 1 of every chromosome is enqueued before the
+    single packed host sync, and the adaptive permutation Monte-Carlo runs
+    over ALL chromosomes' valid windows at once — window batches fill
+    better and the per-batch fixed latencies amortize genome-wide."""
+    cfg = cfg or CssConfig()
+    key = jax.random.PRNGKey(cfg.seed)
+
+    first_pair = next(iter(pairs.values()))[0]
+    asize, bsize = first_pair.asize, first_pair.bsize
+    m = 2 if cfg.drosophila else asize + bsize
+
+    per_chrom = []
+    planned_total = 0
+    for seqid, (pair, regend) in sorted(pairs.items()):
+        if (pair.asize, pair.bsize) != (asize, bsize):
+            raise ValueError(
+                f"{seqid}: population sizes differ between chromosomes"
+            )
+        nslots, planned, pending = _css_phase1_dispatch(
+            pair, regend, cfg, sharding, key
         )
-    return scores, pvals
+        planned_total += planned
+        per_chrom.append((seqid, nslots, pending))
+
+    all_pending = [p for _, _, pending in per_chrom for p in pending]
+    fetched = (
+        _css_phase1_fetch(all_pending, m) if all_pending else None
+    )
+
+    chrom_data = []
+    off = 0
+    n_discarded = 0
+    for seqid, nslots, pending in per_chrom:
+        slots, svals, dists, disc, off = (
+            _css_collect(pending, fetched, m, off)
+            if pending
+            else (np.zeros(0, np.int64), np.zeros(0), np.zeros((0, m, m)), 0, off)
+        )
+        n_discarded += disc
+        chrom_data.append((seqid, nslots, slots, svals, dists))
+
+    # phase 2: genome-wide adaptive permutation MC over every valid window
+    svals_all = np.concatenate([c[3] for c in chrom_data]) if chrom_data else np.zeros(0)
+    results: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+    if len(svals_all):
+        dists_all = np.concatenate([c[4] for c in chrom_data])
+        a_mc = 1 if cfg.drosophila else asize
+        b_mc = 1 if cfg.drosophila else bsize
+        mc = kperm.significance(
+            dists_all,
+            svals_all,
+            a_mc,
+            b_mc,
+            cfg.mc_threshold,
+            cfg.mc_runs,
+            jax.random.fold_in(key, 2),
+            chunk=cfg.mc_chunk,
+        )
+        mc_off = 0
+        for seqid, nslots, slots, svals, _ in chrom_data:
+            scores = np.zeros(nslots, dtype=np.float64)
+            pvals = np.zeros(nslots, dtype=np.float64)
+            scores[slots] = svals
+            pvals[slots] = mc.pvals[mc_off : mc_off + len(svals)]
+            mc_off += len(svals)
+            results[seqid] = (scores, pvals)
+        mc_perms = int(mc.nscores.sum())
+    else:
+        for seqid, nslots, *_ in chrom_data:
+            results[seqid] = (
+                np.zeros(nslots, dtype=np.float64),
+                np.zeros(nslots, dtype=np.float64),
+            )
+        mc_perms = 0
+
+    if summary is not None:
+        c = summary.counters
+        c["windows_planned"] = c.get("windows_planned", 0) + planned_total
+        c["windows_scored"] = c.get("windows_scored", 0) + int(len(svals_all))
+        c["windows_discarded"] = c.get("windows_discarded", 0) + n_discarded
+        c["mc_permutations"] = c.get("mc_permutations", 0) + mc_perms
+    return results

@@ -44,35 +44,26 @@ def _gather_windows(avals, bvals, lo, npos, P):
     return jnp.take(avals, idx, axis=0), jnp.take(bvals, idx, axis=0)
 
 
-def run_fet(
+def _fet_dispatch(
     pair: SnpPair,
     regend: int,
-    cfg: FetConfig | None = None,
-    sharding=None,
-    summary: RunSummary | None = None,
-) -> tuple[np.ndarray, np.ndarray]:
-    """FET scan of one chromosome.
+    cfg: FetConfig,
+    sharding,
+    summary: RunSummary | None,
+    key: jax.Array,
+):
+    """Enqueue all bucket kernels for one chromosome (no host sync).
 
-    Returns (scores, stddev), each of ``regend // wstep`` slots — slot
-    ``w.start // wstep`` like the reference adapter
-    (statistics/FisherExactScoreStat.py:51-58).  ``sharding`` optionally
-    places the window batches over a device mesh (window-axis data
-    parallelism)."""
-    cfg = cfg or FetConfig()
+    Returns (nslots, pending) with pending = [(slot, Bw, s_dev, d_dev)]."""
     w = cfg.window
     plan = plan_windows(pair.positions, regend, w.wsize, w.wstep)
     nslots = plan.nslots
-    scores = np.zeros(nslots, dtype=np.float64)
-    stddev = np.zeros(nslots, dtype=np.float64)
     if plan.num_windows == 0 or pair.npos == 0:
-        return scores, stddev
+        return nslots, []
 
-    # device-resident SNP matrices; window rows are gathered on device
     avals_d, bvals_d = pair.device_values()
-
     maxs = kfet.support_size(pair.asize, pair.bsize)
     nmax = pair.asize + pair.bsize + 2
-    key = jax.random.PRNGKey(cfg.seed)
 
     in_slots = plan.slot < nslots
     buckets = bucketize(
@@ -90,10 +81,7 @@ def run_fet(
         )
         c["buckets"] = c.get("buckets", 0) + len(buckets)
 
-    # dispatch every bucket asynchronously; materialize with ONE host sync
-    # at the end (each blocking device->host read costs a full round trip,
-    # which dwarfs the kernels themselves on small workloads)
-    pending: list[tuple[np.ndarray, int, jnp.ndarray, jnp.ndarray]] = []
+    pending = []
     for bi, bucket in enumerate(buckets):
         Bw = len(bucket.window_ids)
         Bp = _pad_batch(Bw)
@@ -122,28 +110,87 @@ def run_fet(
             fast=cfg.precision == "fast",
         )
         pending.append((bucket.slot, Bw, s, d))
+    return nslots, pending
 
-    # pack all buckets into ONE device array so materialization costs a
-    # single device->host round trip (device_get of a pytree fetches each
-    # leaf separately).  Wait for the in-flight kernels BEFORE dispatching
-    # the pack: on remote-device backends an eager op whose inputs are
-    # still executing lands on a slow scheduling path (~0.5 s), while
-    # blocking on finished work and packing ready buffers is milliseconds.
-    if not pending:
-        return scores, stddev
-    jax.block_until_ready([(s, d) for _, _, s, d in pending])
+
+def _fetch_packed(all_pending):
+    """ONE host sync for any number of chromosomes' pending buckets.
+
+    device_get of a pytree fetches leaf-by-leaf (one round trip each), so
+    everything is packed into a single [2, total] device array first.
+    Blocking on the in-flight kernels before dispatching the pack keeps
+    the eager concat off remote backends' slow scheduling path."""
+    jax.block_until_ready([(s, d) for _, _, s, d in all_pending])
     packed = jnp.stack(
         [
-            jnp.concatenate([s for _, _, s, _ in pending]),
-            jnp.concatenate([d for _, _, _, d in pending]),
+            jnp.concatenate([s for _, _, s, _ in all_pending]),
+            jnp.concatenate([d for _, _, _, d in all_pending]),
         ]
     )
-    fetched = jax.device_get(packed)
-    off = 0
+    return jax.device_get(packed)
+
+
+def _scatter(pending, fetched, off, scores, stddev):
     for slot, Bw, s, _ in pending:
         Bp = s.shape[0]
         scores[slot] = fetched[0, off : off + Bw]
         stddev[slot] = fetched[1, off : off + Bw]
         off += Bp
+    return off
 
+
+def run_fet(
+    pair: SnpPair,
+    regend: int,
+    cfg: FetConfig | None = None,
+    sharding=None,
+    summary: RunSummary | None = None,
+) -> tuple[np.ndarray, np.ndarray]:
+    """FET scan of one chromosome.
+
+    Returns (scores, stddev), each of ``regend // wstep`` slots — slot
+    ``w.start // wstep`` like the reference adapter
+    (statistics/FisherExactScoreStat.py:51-58).  ``sharding`` optionally
+    places the window batches over a device mesh (window-axis data
+    parallelism)."""
+    cfg = cfg or FetConfig()
+    key = jax.random.PRNGKey(cfg.seed)
+    nslots, pending = _fet_dispatch(pair, regend, cfg, sharding, summary, key)
+    scores = np.zeros(nslots, dtype=np.float64)
+    stddev = np.zeros(nslots, dtype=np.float64)
+    if pending:
+        fetched = _fetch_packed(pending)
+        _scatter(pending, fetched, 0, scores, stddev)
     return scores, stddev
+
+
+def run_fet_multi(
+    pairs: dict[str, tuple[SnpPair, int]],
+    cfg: FetConfig | None = None,
+    sharding=None,
+    summary: RunSummary | None = None,
+) -> dict[str, tuple[np.ndarray, np.ndarray]]:
+    """Genome-wide FET: every chromosome's kernels are enqueued before the
+    single packed host sync — per-chromosome fixed latencies overlap
+    (the per-chromosome result is identical to :func:`run_fet`)."""
+    cfg = cfg or FetConfig()
+    per_chrom = []
+    key = jax.random.PRNGKey(cfg.seed)   # same stream per chromosome,
+    for seqid, (pair, regend) in sorted(pairs.items()):  # == looped run_fet
+        nslots, pending = _fet_dispatch(
+            pair, regend, cfg, sharding, summary, key
+        )
+        per_chrom.append((seqid, nslots, pending))
+
+    all_pending = [p for _, _, pending in per_chrom for p in pending]
+    fetched = _fetch_packed(all_pending) if all_pending else None
+
+    results = {}
+    off = 0
+    for seqid, nslots, pending in per_chrom:
+        scores = np.zeros(nslots, dtype=np.float64)
+        stddev = np.zeros(nslots, dtype=np.float64)
+        if pending:
+            off = _scatter(pending, fetched, off, scores, stddev)
+        results[seqid] = (scores, stddev)
+    return results

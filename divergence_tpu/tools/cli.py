@@ -99,7 +99,7 @@ def _mesh_sharding(args):
     return window_sharding(make_mesh())
 
 
-def _run_engine(args, engine, cfg, columns) -> None:
+def _run_engine(args, engine, cfg, columns, engine_multi=None) -> None:
     """Shared driver for run-fet / run-css.
 
     Per-chromosome part files make a failed genome-wide run resumable at
@@ -131,6 +131,25 @@ def _run_engine(args, engine, cfg, columns) -> None:
     results = {}
     t0 = time.perf_counter()
     total_windows = 0
+    if engine_multi is not None and not args.resume and len(pairs) > 1:
+        # genome-wide path: every chromosome enqueued before the single
+        # host sync (and, for CSS, one genome-wide permutation MC)
+        with profile_ctx, summary.stage("genome"):
+            results = engine_multi(
+                pairs, cfg, sharding=sharding, summary=summary
+            )
+        for seqid, (s, _) in results.items():
+            nw = int((s != 0).sum())
+            total_windows += nw
+            print(f"{seqid}: {nw} scored windows")
+        elapsed = time.perf_counter() - t0
+        summary.counters["total_s"] = round(elapsed, 3)
+        summary.counters["windows_per_s"] = round(total_windows / elapsed, 1)
+        write_score_track(args.out, results, cfg.window.wstep, columns)
+        print(f"wrote {args.out}")
+        if args.summary:
+            summary.write(args.summary)
+        return
     with profile_ctx:
         for seqid, (pair, regend) in pairs.items():
             part = parts_dir / f"{seqid}.tsv" if parts_dir else None
@@ -171,6 +190,8 @@ def cmd_run_fet(args) -> None:
     from divergence_tpu.config import FetConfig, WindowConfig
     from divergence_tpu.engine import run_fet
 
+    from divergence_tpu.engine.fet_engine import run_fet_multi
+
     cfg = FetConfig(
         window=WindowConfig(wsize=args.wsize, wstep=args.wstep),
         percentile=args.percentile,
@@ -178,7 +199,9 @@ def cmd_run_fet(args) -> None:
         seed=args.seed,
         precision=args.precision,
     )
-    _run_engine(args, run_fet, cfg, ("score", "stddev"))
+    _run_engine(
+        args, run_fet, cfg, ("score", "stddev"), engine_multi=run_fet_multi
+    )
 
 
 def cmd_run_css(args) -> None:
@@ -200,7 +223,11 @@ def cmd_run_css(args) -> None:
         mc_chunk=args.mc_chunk,
         precision=args.precision,
     )
-    _run_engine(args, run_css, cfg, ("score", "p"))
+    from divergence_tpu.engine.css_engine import run_css_multi
+
+    _run_engine(
+        args, run_css, cfg, ("score", "p"), engine_multi=run_css_multi
+    )
 
 
 def _cmd_report(args) -> None:

@@ -299,3 +299,59 @@ def test_cli_report(toy_vcf, tmp_path):
     assert "FET score track" in doc and "CSS score track" in doc
     assert "Top 20 windows" in doc
     assert "chrT" in doc
+
+
+def test_cli_multi_chromosome_genome(tmp_path):
+    """>1 chromosome triggers the genome-wide engine path; the output
+    track must contain every chromosome with plausible rows."""
+    rng = np.random.default_rng(31)
+    with open(tmp_path / "a.gtrack", "w") as fa, open(
+        tmp_path / "b.gtrack", "w"
+    ) as fb:
+        for fh in (fa, fb):
+            fh.write("###seqid\tstart\tvalue\tgenomeid\n")
+        for chrom in ("chr1", "chr2"):
+            pos = np.sort(
+                rng.choice(np.arange(100, 12_000), 120, replace=False)
+            )
+            for fh, size in ((fa, 4), (fb, 3)):
+                for p in pos:
+                    for i in range(size):
+                        v = rng.choice([3, -3, 0])
+                        fh.write(f"{chrom}\t{p}\t{v}\tind{i}\n")
+    (tmp_path / "chrom.sizes").write_text("chr1\t12000\nchr2\t12000\n")
+    cli_main(
+        [
+            "run-fet",
+            "--pop-a", str(tmp_path / "a.gtrack"),
+            "--pop-b", str(tmp_path / "b.gtrack"),
+            "--out", str(tmp_path / "fet.track"),
+            "--chrom-sizes", str(tmp_path / "chrom.sizes"),
+            "--summary", str(tmp_path / "s.json"),
+        ]
+    )
+    rows = [
+        ln.split("\t")
+        for ln in (tmp_path / "fet.track").read_text().splitlines()
+        if ln and not ln.startswith("#")
+    ]
+    seqs = {r[0] for r in rows}
+    assert seqs == {"chr1", "chr2"}
+    summary = json.loads((tmp_path / "s.json").read_text())
+    assert summary["counters"]["windows_planned"] > 30
+    cli_main(
+        [
+            "run-css",
+            "--pop-a", str(tmp_path / "a.gtrack"),
+            "--pop-b", str(tmp_path / "b.gtrack"),
+            "--out", str(tmp_path / "css.track"),
+            "--chrom-sizes", str(tmp_path / "chrom.sizes"),
+            "--mc-runs", "300",
+        ]
+    )
+    rows = [
+        ln.split("\t")
+        for ln in (tmp_path / "css.track").read_text().splitlines()
+        if ln and not ln.startswith("#")
+    ]
+    assert {r[0] for r in rows} == {"chr1", "chr2"}

@@ -177,3 +177,39 @@ def test_large_chromosome_batch_split(rng):
         )
         got = scores[plan.slot[i]]
         assert got == pytest.approx(want, rel=1e-9, abs=1e-12)
+
+
+def test_multi_chromosome_engines_match_looped(rng):
+    """run_fet_multi / run_css_multi must reproduce per-chromosome looped
+    results exactly (deterministic parts) for a 3-chromosome genome."""
+    from divergence_tpu.engine.css_engine import run_css_multi
+    from divergence_tpu.engine.fet_engine import run_fet_multi
+
+    pairs = {}
+    for c in range(3):
+        npos, region = 250, 15_000
+        positions = np.sort(
+            rng.choice(np.arange(1, region), npos, replace=False)
+        )
+        av = rng.choice([3.0, -3.0, 0.0], size=(npos, 5))
+        bv = rng.choice([3.0, -3.0, 0.0], size=(npos, 4))
+        pairs[f"chr{c}"] = (
+            SnpPair(positions=positions, avals=av, bvals=bv),
+            region,
+        )
+
+    fcfg = FetConfig(window=WCFG, bootstrap_samples=4)
+    multi = run_fet_multi(pairs, fcfg)
+    for seqid, (pair, regend) in pairs.items():
+        s, d = run_fet(pair, regend, fcfg)
+        np.testing.assert_array_equal(multi[seqid][0], s)
+        np.testing.assert_array_equal(multi[seqid][1], d)
+
+    ccfg = CssConfig(window=WCFG, mc_runs=300, mc_chunk=128)
+    multi = run_css_multi(pairs, ccfg)
+    for seqid, (pair, regend) in pairs.items():
+        s, p = run_css(pair, regend, ccfg)
+        np.testing.assert_allclose(multi[seqid][0], s, rtol=1e-12)
+        # p-values: same estimator; the genome-wide MC batches windows
+        # differently (different RNG stream) — structural equality only
+        np.testing.assert_array_equal(multi[seqid][1] > 0, p > 0)
