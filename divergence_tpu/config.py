@@ -131,6 +131,13 @@ class CssConfig:
     # modes).  See docs/PARITY.md.
     precision: str = "exact"
 
+    # p-value estimator: "mc" = the reference's adaptive Monte-Carlo
+    # (p=(hits+1)/(n+1), stop at mc_threshold hits or mc_runs);
+    # "approx" = Pearson-III null fitted to three moments from ONE chunk
+    # of permutations (MRPP-style) — ~200x less device work, model error
+    # in the extreme tail (kernels/perm.py:approx_significance).
+    p_mode: str = "mc"
+
     def __post_init__(self) -> None:
         if self.mc_threshold <= 0 or self.mc_runs <= 0:
             raise ValueError("mc_threshold and mc_runs must be positive")
@@ -138,6 +145,8 @@ class CssConfig:
             raise ValueError("mc_chunk must be positive")
         if self.precision not in ("exact", "fast"):
             raise ValueError("precision must be 'exact' or 'fast'")
+        if self.p_mode not in ("mc", "approx"):
+            raise ValueError("p_mode must be 'mc' or 'approx'")
 
 
 @dataclasses.dataclass(frozen=True)

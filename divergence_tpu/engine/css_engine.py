@@ -224,16 +224,26 @@ def run_css_multi(
         dists_all = np.concatenate([c[4] for c in chrom_data])
         a_mc = 1 if cfg.drosophila else asize
         b_mc = 1 if cfg.drosophila else bsize
-        mc = kperm.significance(
-            dists_all,
-            svals_all,
-            a_mc,
-            b_mc,
-            cfg.mc_threshold,
-            cfg.mc_runs,
-            jax.random.fold_in(key, 2),
-            chunk=cfg.mc_chunk,
-        )
+        if cfg.p_mode == "approx":
+            mc = kperm.approx_significance(
+                dists_all,
+                svals_all,
+                a_mc,
+                b_mc,
+                jax.random.fold_in(key, 2),
+                chunk=max(cfg.mc_chunk, 512),
+            )
+        else:
+            mc = kperm.significance(
+                dists_all,
+                svals_all,
+                a_mc,
+                b_mc,
+                cfg.mc_threshold,
+                cfg.mc_runs,
+                jax.random.fold_in(key, 2),
+                chunk=cfg.mc_chunk,
+            )
         mc_off = 0
         for seqid, nslots, slots, svals, _ in chrom_data:
             scores = np.zeros(nslots, dtype=np.float64)

@@ -183,6 +183,108 @@ class McResult:
     hits: np.ndarray       # [B]
 
 
+@functools.partial(
+    jax.jit, static_argnames=("asize", "bsize", "chunk")
+)
+def _null_moments(
+    dist: jnp.ndarray,     # [B, m, m]
+    key: jax.Array,
+    asize: int,
+    bsize: int,
+    chunk: int,
+) -> jnp.ndarray:
+    """First three central moments of the permutation null from one chunk
+    of ``chunk`` permutations per window: [3, B] (mean, var, mu3)."""
+    s = _perm_scores(dist.astype(jnp.float32), key, asize, bsize, chunk)
+    s64 = s.astype(jnp.float64)
+    mean = jnp.mean(s64, axis=-1)
+    d = s64 - mean[:, None]
+    var = jnp.mean(d * d, axis=-1)
+    mu3 = jnp.mean(d * d * d, axis=-1)
+    return jnp.stack([mean, var, mu3])
+
+
+def approx_significance(
+    dist: np.ndarray,
+    scores: np.ndarray,
+    asize: int,
+    bsize: int,
+    key: jax.Array,
+    chunk: int = 1024,
+    window_batch: int = 1024,
+) -> McResult:
+    """Pearson-III (moment-fitted) permutation p-values.
+
+    The permuted CSS is a bilinear permutation statistic of the fixed
+    distance matrix (between-block + adjacent-chain sums over sigma), the
+    class of statistics the MRPP literature shows is well-approximated by
+    a Pearson type III (shifted-gamma) null fitted to its first three
+    moments (Mielke & Berry, Permutation Methods).  One fixed-size chunk
+    of permutations estimates the moments; the tail is evaluated
+    analytically — ~200x less device work than the adaptive MC at 200k
+    runs, at the cost of model error in the extreme tail.  Use the exact
+    MC (``significance``) when reference-exact estimators are required.
+    """
+    from scipy import stats as sstats
+
+    B = len(scores)
+    pvals = np.ones(B, dtype=np.float64)
+    if B == 0:
+        return McResult(
+            pvals=pvals,
+            nscores=np.zeros(B, dtype=np.int64),
+            hits=np.zeros(B, dtype=np.int64),
+        )
+
+    dist_d = jnp.asarray(dist)
+    moments = np.zeros((3, B))
+    for bi, start in enumerate(range(0, B, window_batch)):
+        sel = np.arange(start, min(start + window_batch, B))
+        Bp = 8
+        while Bp < len(sel):
+            Bp *= 2
+        sel_p = np.concatenate([sel, np.full(Bp - len(sel), sel[0])])
+        mom = _null_moments(
+            dist_d[sel_p],
+            jax.random.fold_in(key, bi),
+            asize,
+            bsize,
+            chunk,
+        )
+        jax.block_until_ready(mom)
+        moments[:, sel] = jax.device_get(mom)[:, : len(sel)]
+
+    mean, var, mu3 = moments
+    sd = np.sqrt(np.maximum(var, 1e-30))
+    skew = mu3 / np.maximum(sd**3, 1e-30)
+    z = (scores - mean) / sd
+
+    # Pearson III: standardized gamma with shape a = 4/skew^2, matching
+    # the third moment; sign of the skew mirrors the distribution.
+    # |skew| ~ 0 degenerates to the normal tail.
+    small = np.abs(skew) < 1e-3
+    p = np.empty(B)
+    p[small] = sstats.norm.sf(z[small])
+    big = ~small
+    if big.any():
+        a = 4.0 / (skew[big] ** 2)
+        pos = skew[big] > 0
+        # X = (Z * sign) * sqrt(a) + a  ~ Gamma(a, 1) under Pearson III
+        zz = np.where(pos, z[big], -z[big])
+        x = zz * np.sqrt(a) + a
+        tail_hi = sstats.gamma.sf(np.maximum(x, 0.0), a)
+        tail_lo = sstats.gamma.cdf(np.maximum(x, 0.0), a)
+        p[big] = np.where(pos, tail_hi, tail_lo)
+        # beyond the distribution's support bound, the tail is 0/1
+        p[big] = np.where(x <= 0.0, np.where(pos, 1.0, 0.0), p[big])
+    p = np.clip(p, 1e-300, 1.0)
+    return McResult(
+        pvals=p,
+        nscores=np.full(B, chunk, dtype=np.int64),
+        hits=np.zeros(B, dtype=np.int64),
+    )
+
+
 def significance(
     dist: np.ndarray,
     scores: np.ndarray,

@@ -222,6 +222,7 @@ def cmd_run_css(args) -> None:
         seed=args.seed,
         mc_chunk=args.mc_chunk,
         precision=args.precision,
+        p_mode=args.p_mode,
     )
     from divergence_tpu.engine.css_engine import run_css_multi
 
@@ -397,7 +398,15 @@ def build_parser() -> argparse.ArgumentParser:
     )
     p.add_argument("--mc-threshold", type=int, default=10)
     p.add_argument("--mc-runs", type=int, default=200_000)
-    p.add_argument("--mc-chunk", type=int, default=4096)
+    p.add_argument("--mc-chunk", type=int, default=256)
+    p.add_argument(
+        "--p-mode",
+        choices=["mc", "approx"],
+        default="mc",
+        help="mc = reference-exact adaptive Monte-Carlo; approx = "
+        "Pearson-III moment fit from one permutation chunk (~200x less "
+        "compute, approximate extreme tail)",
+    )
     p.add_argument("--drosophila", action="store_true")
     p.set_defaults(fn=cmd_run_css)
 
