@@ -84,11 +84,15 @@ def main():
     workdir.mkdir(parents=True, exist_ok=True)
     stages = {}
 
-    t0 = time.perf_counter()
-    ndiv = generate_genome(workdir)
-    stages["generate"] = time.perf_counter() - t0
-    print(f"generated genome with ~{ndiv} divergent 25kb blocks "
-          f"({stages['generate']:.0f}s)")
+    if (workdir / "popA.gtrack").exists():
+        print("reusing existing genome files")
+        stages["generate"] = 0.0
+    else:
+        t0 = time.perf_counter()
+        ndiv = generate_genome(workdir)
+        stages["generate"] = time.perf_counter() - t0
+        print(f"generated genome with ~{ndiv} divergent 25kb blocks "
+              f"({stages['generate']:.0f}s)")
 
     from divergence_tpu.tools.cli import main as cli
 
@@ -104,10 +108,11 @@ def main():
         "--out", f"{w}/fet.track", "--chrom-sizes", f"{w}/chrom.sizes",
         "--precision", "fast", "--summary", f"{w}/fet_summary.json",
     ])
+    p_mode = "approx" if "--approx" in sys.argv else "mc"
     run("run-css", [
         "run-css", "--pop-a", f"{w}/popA.gtrack", "--pop-b", f"{w}/popB.gtrack",
         "--out", f"{w}/css.track", "--chrom-sizes", f"{w}/chrom.sizes",
-        "--precision", "fast",
+        "--precision", "fast", "--p-mode", p_mode,
     ])
     run("filter-fet", [
         "filter-fet", "--scores", f"{w}/fet.track",

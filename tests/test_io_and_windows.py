@@ -105,3 +105,33 @@ def test_num_windows_threaded_quirk():
     w = WindowConfig(wsize=2500, wstep=500)
     assert w.num_windows(10_000) == 10_000 // 500 - 3
     assert w.num_slots(10_000) == 20
+
+
+def test_chrom_sizes_roundtrip(tmp_path):
+    from divergence_tpu.io.genome import read_chrom_sizes, write_chrom_sizes
+
+    sizes = {"chrI": 28_185_914, "chrXXI": 11_717_487}
+    write_chrom_sizes(tmp_path / "g.sizes", sizes)
+    assert read_chrom_sizes(tmp_path / "g.sizes") == sizes
+    # comments and blank lines are skipped
+    (tmp_path / "g2.sizes").write_text("# c\n\nchrM\t16569\n")
+    assert read_chrom_sizes(tmp_path / "g2.sizes") == {"chrM": 16569}
+
+
+def test_run_summary_json(tmp_path):
+    import json
+    import time
+
+    from divergence_tpu.utils.summary import RunSummary, StageTimer
+
+    s = RunSummary(name="x")
+    with s.stage("a"):
+        time.sleep(0.01)
+    s.counters["n"] = 3
+    s.write(tmp_path / "s.json")
+    data = json.loads((tmp_path / "s.json").read_text())
+    assert data["name"] == "x"
+    assert data["counters"]["n"] == 3
+    assert data["timings_s"]["a"] >= 0.01
+    t = StageTimer()
+    assert t.elapsed() >= 0
