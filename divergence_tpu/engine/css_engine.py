@@ -93,7 +93,7 @@ def _css_phase1_dispatch(
     return nslots, plan.num_windows, pending
 
 
-def _css_phase1_fetch(all_pending, m: int):
+def _css_phase1_fetch(all_pending):
     """ONE host sync for any number of chromosomes' phase-1 buckets.
 
     Packs (dist | score | valid) per window into one [sumB, m*m+2] device
@@ -201,9 +201,7 @@ def run_css_multi(
         per_chrom.append((seqid, nslots, pending))
 
     all_pending = [p for _, _, pending in per_chrom for p in pending]
-    fetched = (
-        _css_phase1_fetch(all_pending, m) if all_pending else None
-    )
+    fetched = _css_phase1_fetch(all_pending) if all_pending else None
 
     chrom_data = []
     off = 0
