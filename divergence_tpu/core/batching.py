@@ -31,6 +31,12 @@ def _next_pow2(n: int, floor: int) -> int:
     return p
 
 
+def pad_batch(n: int, floor: int = 8) -> int:
+    """Round a batch size up to a power of two (>= ``floor``) so the
+    number of distinct compiled shapes stays logarithmic."""
+    return _next_pow2(n, floor)
+
+
 def bucketize(
     lo: np.ndarray,
     npos: np.ndarray,

@@ -15,7 +15,7 @@ import jax
 import jax.numpy as jnp
 
 from divergence_tpu.config import CssConfig
-from divergence_tpu.core.batching import bucketize
+from divergence_tpu.core.batching import bucketize, pad_batch
 from divergence_tpu.engine.fet_engine import _gather_windows
 from divergence_tpu.core.windows import plan_windows
 from divergence_tpu.engine.snp import SnpPair
@@ -24,11 +24,7 @@ from divergence_tpu.kernels import perm as kperm
 from divergence_tpu.utils.summary import RunSummary
 
 
-def _pad_batch(n: int) -> int:
-    p = 8
-    while p < n:
-        p *= 2
-    return p
+_pad_batch = pad_batch
 
 
 def _css_phase1_dispatch(

@@ -17,20 +17,14 @@ import jax
 import jax.numpy as jnp
 
 from divergence_tpu.config import FetConfig
-from divergence_tpu.core.batching import bucketize
+from divergence_tpu.core.batching import bucketize, pad_batch
 from divergence_tpu.core.windows import plan_windows
 from divergence_tpu.engine.snp import SnpPair
 from divergence_tpu.kernels import fet as kfet
 from divergence_tpu.utils.summary import RunSummary
 
 
-def _pad_batch(n: int) -> int:
-    """Round a bucket's window count up to a power of two (>= 8) so the
-    number of distinct compiled shapes stays logarithmic."""
-    p = 8
-    while p < n:
-        p *= 2
-    return p
+_pad_batch = pad_batch
 
 
 @functools.partial(jax.jit, static_argnames=("P",))

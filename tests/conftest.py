@@ -72,5 +72,8 @@ def make_panel(
 
 
 @pytest.fixture(scope="session")
-def panel(rng):
-    return make_panel(rng)
+def panel():
+    # dedicated generator: the shared session rng's state depends on test
+    # execution order, which made the panel (and every statistical bound
+    # computed on it) order-dependent
+    return make_panel(np.random.default_rng(777))

@@ -213,3 +213,33 @@ def test_permutation_pvalues_statistical(rng):
         p_orc * (1 - p_orc) / 20_000
     )
     assert abs(p - p_orc) < 6 * se + 1e-3, (p, p_orc)
+
+
+def test_cmds_smacof_refinement_vs_oracle(rng):
+    """mds=2 (CMDS init refined by SMACOF): deterministic path, batch
+    kernel vs serial oracle on pairwise distances."""
+    B, P, asize, bsize = 6, 48, 5, 4
+    av = rng.choice([3.0, -3.0, 0.0], size=(B, P, asize))
+    bv = rng.choice([3.0, -3.0, 0.0], size=(B, P, bsize))
+    npos = np.full(B, P, dtype=np.int64)
+    s, dist, valid = kcss.css_window_batch(
+        jnp.asarray(av),
+        jnp.asarray(bv),
+        jnp.asarray(npos),
+        jax.random.PRNGKey(0),
+        asize=asize,
+        bsize=bsize,
+        mds=2,
+        smacof_iters=50,
+    )
+    s = np.asarray(s)
+    valid = np.asarray(valid)
+    for b in range(B):
+        want, wdist = orc.window_css(
+            av[b], bv[b], mds=2, smacof_max_iters=50
+        )
+        if wdist is None:
+            assert not valid[b]
+            continue
+        assert valid[b]
+        assert s[b] == pytest.approx(want, rel=1e-6, abs=1e-8)

@@ -151,3 +151,26 @@ def test_bootstrap_orderstat_distributional_parity(rng):
     assert ok.mean() > 0.9, (std_k[~ok], std_o[~ok])
     # aggregate agreement much tighter
     assert np.mean(std_k) == pytest.approx(np.mean(std_o), rel=0.05)
+
+
+def test_shift_min_first_matches_oracle(rng):
+    tables = rng.integers(0, 15, size=(300, 4)).astype(np.int32)
+    got = np.asarray(kfet._shift_min_first(jnp.asarray(tables)))
+    for t, g in zip(tables, got):
+        want = orc._shift_table([int(x) for x in t])
+        assert list(g) == want, (t, g, want)
+
+
+def test_support_size_bound(rng):
+    """The static support bound must cover every achievable table."""
+    for asize, bsize in ((11, 10), (3, 2), (1, 1), (20, 20)):
+        maxs = kfet.support_size(asize, bsize)
+        for _ in range(200):
+            # achievable tables only: homozygous counts within each panel
+            f0 = int(rng.integers(0, asize + 1))
+            f1 = int(rng.integers(0, asize - f0 + 1))
+            f2 = int(rng.integers(0, bsize + 1))
+            f3 = int(rng.integers(0, bsize - f2 + 1))
+            s = orc._shift_table([f0, f1, f2, f3])
+            hi = min(s[0] + s[1], s[0] + s[2])
+            assert hi < maxs
