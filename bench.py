@@ -42,8 +42,45 @@ def make_chromosome(npos: int, region: int, asize: int, bsize: int, seed: int):
     return positions, draw(asize), draw(bsize)
 
 
+def _probe_backend(timeout_s: int = 180) -> bool:
+    """True if the default JAX backend initializes within the timeout.
+
+    Run in a subprocess: a wedged remote-TPU tunnel blocks backend init
+    indefinitely and a thread cannot be killed."""
+    import subprocess
+
+    try:
+        r = subprocess.run(
+            [
+                sys.executable,
+                "-c",
+                "import divergence_tpu, jax; jax.devices(); print('ok')",
+            ],
+            timeout=timeout_s,
+            capture_output=True,
+        )
+        return r.returncode == 0 and b"ok" in r.stdout
+    except subprocess.SubprocessError:
+        return False
+
+
 def main() -> None:
+    import os
+
+    cpu_fallback = False
+    if not _probe_backend():
+        print(
+            "[bench] default backend unavailable (tunnel down?) - "
+            "falling back to CPU with a reduced workload",
+            file=sys.stderr,
+        )
+        os.environ["JAX_PLATFORMS"] = "cpu"
+        cpu_fallback = True
+
     import jax
+
+    if cpu_fallback:
+        jax.config.update("jax_platforms", "cpu")
 
     import divergence_tpu  # noqa: F401  (x64)
     from divergence_tpu.config import FetConfig
@@ -53,8 +90,8 @@ def main() -> None:
     from divergence_tpu.oracle import reference as oracle
 
     asize, bsize = 11, 10
-    region = 10_000_000
-    npos = 200_000
+    region = 10_000_000 if not cpu_fallback else 1_000_000
+    npos = 200_000 if not cpu_fallback else 20_000
     # precision="fast" (f32) is the production configuration on TPU:
     # scores agree with the f64 path to ~1e-5 relative (docs/PARITY.md)
     # while f64 is software-emulated on this hardware.
@@ -114,6 +151,19 @@ def main() -> None:
 
     # --- CSS secondary benchmark (stderr only): worst-case MC, every
     # window divergent -> full 200k permutations/window ---
+    if cpu_fallback:
+        print(
+            json.dumps(
+                {
+                    "metric": "fet_snp_tests_per_sec_chip",
+                    "value": round(tpu_rate, 1),
+                    "unit": "tests/s (CPU FALLBACK - no TPU available)",
+                    "vs_baseline": round(vs, 2),
+                }
+            )
+        )
+        return
+
     from divergence_tpu.config import CssConfig
     from divergence_tpu.engine import run_css
     from divergence_tpu.utils.summary import RunSummary
