@@ -39,6 +39,18 @@ import jax as _jax
 # exactness is preserved (integer counts in f32-accumulated bf16 matmuls).
 _jax.config.update("jax_enable_x64", True)
 
+# Honor JAX_PLATFORMS through the config route as well: site-installed
+# device plugins can register a backend wrapper that ignores the env var
+# (observed with the remote-TPU plugin on this image: `jax.devices()`
+# under env JAX_PLATFORMS=cpu still blocks on the tunnel), while the
+# config value always wins.  Makes `JAX_PLATFORMS=cpu python -m
+# divergence_tpu.tools.cli ...` behave as documented everywhere.
+if _os.environ.get("JAX_PLATFORMS"):
+    try:
+        _jax.config.update("jax_platforms", _os.environ["JAX_PLATFORMS"])
+    except Exception:
+        pass  # backend already initialized — too late to redirect
+
 # Persistent XLA compilation cache: CLI runs on small inputs are otherwise
 # dominated by compile time (the kernels recompile per bucket shape).
 # Override the location with DIVERGENCE_TPU_CACHE; disable with

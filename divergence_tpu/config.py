@@ -138,6 +138,13 @@ class CssConfig:
     # in the extreme tail (kernels/perm.py:approx_significance).
     p_mode: str = "mc"
 
+    # MC chunk evaluator: "xla" = one-hot matmul with (chrom, slot)-pinned
+    # threefry streams (batch/shard/partition-invariant p-values);
+    # "pallas" = fused on-core-PRNG kernel
+    # (kernels/pallas/perm_pallas.py) — benchmark alternative, streams
+    # keyed per batch+chunk (p_mode="mc" only).
+    perm_backend: str = "xla"
+
     def __post_init__(self) -> None:
         if self.mc_threshold <= 0 or self.mc_runs <= 0:
             raise ValueError("mc_threshold and mc_runs must be positive")
@@ -147,6 +154,8 @@ class CssConfig:
             raise ValueError("precision must be 'exact' or 'fast'")
         if self.p_mode not in ("mc", "approx"):
             raise ValueError("p_mode must be 'mc' or 'approx'")
+        if self.perm_backend not in ("xla", "pallas"):
+            raise ValueError("perm_backend must be 'xla' or 'pallas'")
 
 
 @dataclasses.dataclass(frozen=True)

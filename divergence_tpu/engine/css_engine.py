@@ -153,17 +153,20 @@ def run_css(
     cfg: CssConfig | None = None,
     sharding=None,
     summary: RunSummary | None = None,
+    seqid: str = "_",
 ) -> tuple[np.ndarray, np.ndarray]:
     """CSS scan of one chromosome.
 
     Returns (scores, pvals) of ``regend // wstep`` slots (reference
     statistics/CategoryClusterSeparationStat.py:70-80).  Discarded or
-    empty windows keep score 0 / p 0."""
+    empty windows keep score 0 / p 0.  ``seqid`` pins the RNG streams to
+    the chromosome identity, so a per-chromosome run is bit-identical to
+    the same chromosome inside a genome-wide :func:`run_css_multi`."""
     cfg = cfg or CssConfig()
     results = run_css_multi(
-        {"_": (pair, regend)}, cfg, sharding=sharding, summary=summary
+        {seqid: (pair, regend)}, cfg, sharding=sharding, summary=summary
     )
-    return results["_"]
+    return results[seqid]
 
 
 def run_css_multi(
@@ -178,6 +181,8 @@ def run_css_multi(
     better and the per-batch fixed latencies amortize genome-wide."""
     cfg = cfg or CssConfig()
     key = jax.random.PRNGKey(cfg.seed)
+    if not pairs:
+        return {}
 
     first_pair = next(iter(pairs.values()))[0]
     asize, bsize = first_pair.asize, first_pair.bsize
@@ -190,8 +195,11 @@ def run_css_multi(
             raise ValueError(
                 f"{seqid}: population sizes differ between chromosomes"
             )
+        # chromosome-pinned RNG stream: phase-1 results do not depend on
+        # which other chromosomes share the run (or the host partition)
+        ckey = jax.random.fold_in(key, kperm.chrom_hash(seqid))
         nslots, planned, pending = _css_phase1_dispatch(
-            pair, regend, cfg, sharding, key
+            pair, regend, cfg, sharding, ckey
         )
         planned_total += planned
         per_chrom.append((seqid, nslots, pending))
@@ -216,6 +224,17 @@ def run_css_multi(
     results: dict[str, tuple[np.ndarray, np.ndarray]] = {}
     if len(svals_all):
         dists_all = np.concatenate([c[4] for c in chrom_data])
+        # per-window RNG identity: (chromosome, slot) — MC p-values are
+        # invariant to batch composition, sharding, and host partition
+        chroms_all = np.concatenate(
+            [
+                np.full(len(c[3]), kperm.chrom_hash(c[0]), dtype=np.int64)
+                for c in chrom_data
+            ]
+        )
+        slots_all = np.concatenate(
+            [np.asarray(c[2], dtype=np.int64) for c in chrom_data]
+        )
         a_mc = 1 if cfg.drosophila else asize
         b_mc = 1 if cfg.drosophila else bsize
         if cfg.p_mode == "approx":
@@ -226,6 +245,9 @@ def run_css_multi(
                 b_mc,
                 jax.random.fold_in(key, 2),
                 chunk=max(cfg.mc_chunk, 512),
+                chroms=chroms_all,
+                slots=slots_all,
+                sharding=sharding,
             )
         else:
             mc = kperm.significance(
@@ -237,6 +259,10 @@ def run_css_multi(
                 cfg.mc_runs,
                 jax.random.fold_in(key, 2),
                 chunk=cfg.mc_chunk,
+                chroms=chroms_all,
+                slots=slots_all,
+                sharding=sharding,
+                backend=cfg.perm_backend,
             )
         mc_off = 0
         for seqid, nslots, slots, svals, _ in chrom_data:

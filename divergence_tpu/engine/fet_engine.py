@@ -21,6 +21,7 @@ from divergence_tpu.core.batching import bucketize, pad_batch
 from divergence_tpu.core.windows import plan_windows
 from divergence_tpu.engine.snp import SnpPair
 from divergence_tpu.kernels import fet as kfet
+from divergence_tpu.kernels.perm import chrom_hash as _chrom_hash
 from divergence_tpu.utils.summary import RunSummary
 
 
@@ -139,6 +140,7 @@ def run_fet(
     cfg: FetConfig | None = None,
     sharding=None,
     summary: RunSummary | None = None,
+    seqid: str = "_",
 ) -> tuple[np.ndarray, np.ndarray]:
     """FET scan of one chromosome.
 
@@ -146,9 +148,15 @@ def run_fet(
     ``w.start // wstep`` like the reference adapter
     (statistics/FisherExactScoreStat.py:51-58).  ``sharding`` optionally
     places the window batches over a device mesh (window-axis data
-    parallelism)."""
+    parallelism).  ``seqid`` pins the bootstrap RNG stream to the
+    chromosome identity — per-chromosome runs match the same chromosome
+    inside :func:`run_fet_multi` bit-for-bit, under any host partition
+    (the reference seeds per worker thread from the wall clock instead,
+    threadfisher.c:156-160)."""
     cfg = cfg or FetConfig()
-    key = jax.random.PRNGKey(cfg.seed)
+    key = jax.random.fold_in(
+        jax.random.PRNGKey(cfg.seed), _chrom_hash(seqid)
+    )
     nslots, pending = _fet_dispatch(pair, regend, cfg, sharding, summary, key)
     scores = np.zeros(nslots, dtype=np.float64)
     stddev = np.zeros(nslots, dtype=np.float64)
@@ -169,8 +177,12 @@ def run_fet_multi(
     (the per-chromosome result is identical to :func:`run_fet`)."""
     cfg = cfg or FetConfig()
     per_chrom = []
-    key = jax.random.PRNGKey(cfg.seed)   # same stream per chromosome,
-    for seqid, (pair, regend) in sorted(pairs.items()):  # == looped run_fet
+    base = jax.random.PRNGKey(cfg.seed)
+    for seqid, (pair, regend) in sorted(pairs.items()):
+        # chromosome-pinned stream: independent bootstrap noise per
+        # chromosome, identical to run_fet(seqid=...) and stable across
+        # multi-host chromosome partitionings
+        key = jax.random.fold_in(base, _chrom_hash(seqid))
         nslots, pending = _fet_dispatch(
             pair, regend, cfg, sharding, summary, key
         )

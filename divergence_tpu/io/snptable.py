@@ -59,15 +59,26 @@ def snp_table_to_gtrack(
         if header is not None:
             sel: list[int] = []
             labels: list[str] = []
+            missing: list[str] = []
             for name in ids:
                 if name in header:
                     sel.append(header.index(name))
                     labels.append(name)
                 else:
-                    print(f"warning: {name} not found in SNP table header")
+                    missing.append(name)
+            if missing:
+                # a typo'd ID must not silently shrink the panel — the
+                # downstream divergence analysis would be wrong with no
+                # signal (population size is inferred from the data)
+                raise ValueError(
+                    f"individual IDs not in SNP table header: {missing}; "
+                    f"header has {header[:8]}..."
+                )
         else:
             sel = [4 + int(i) for i in ids]
             labels = ids
+        if not labels:
+            raise ValueError("no individual IDs selected")
 
         with open(out_path, "w") as out:
             out.write(gtrack_points_header(genome))

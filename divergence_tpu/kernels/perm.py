@@ -23,14 +23,25 @@ fixed-shape chunks:
   window batch (the host-driven round trip per chunk dominated wall
   time on remote-device backends).
 
-RNG is deterministic per (key, chunk index) and differs from the
-wall-clock-seeded reference by design (SURVEY.md §5).
+RNG design: every window owns an independent stream derived as
+``fold_in(fold_in(fold_in(key, chrom_hash), slot), chunk_idx)`` — a pure
+function of (seed, chromosome, window slot).  P-values are therefore
+bit-identical under ANY batching, padding, device sharding, or
+multi-host chromosome partitioning (the reference's per-thread
+wall-clock seeding, threadcss.c:220-223, has no such property; SURVEY.md
+§5 seed semantics).
+
+Device placement: every entry point takes ``sharding=`` and places the
+window-batch axis with it — the SAME window-axis data-parallel mechanism
+the engines use for phase 1, making the MC (SURVEY §3.2 hot loop B)
+scale over a mesh instead of serializing on the default device.
 """
 
 from __future__ import annotations
 
 import dataclasses
 import functools
+import zlib
 
 import numpy as np
 
@@ -40,9 +51,22 @@ import jax.numpy as jnp
 from divergence_tpu.kernels.css import chain_weights
 
 
+def chrom_hash(seqid: str) -> int:
+    """Stable 31-bit chromosome identifier for RNG stream derivation
+    (stable across python processes, hosts, and partitionings)."""
+    return zlib.crc32(seqid.encode()) & 0x7FFFFFFF
+
+
+@jax.jit
+def window_keys(key: jax.Array, chroms: jnp.ndarray, slots: jnp.ndarray):
+    """Per-window PRNG keys: fold (chromosome, slot) into the run key."""
+    k1 = jax.vmap(lambda c: jax.random.fold_in(key, c))(chroms)
+    return jax.vmap(jax.random.fold_in)(k1, slots)
+
+
 def _perm_scores(
     distf: jnp.ndarray,   # [B, m, m] f32
-    key: jax.Array,
+    keys: jax.Array,      # [B] per-window typed PRNG keys
     asize: int,
     bsize: int,
     chunk: int,
@@ -62,7 +86,9 @@ def _perm_scores(
       is pure MXU/VPU work).
     """
     B, m = distf.shape[0], distf.shape[-1]
-    u = jax.random.uniform(key, (B, chunk, m), dtype=jnp.float32)
+    u = jax.vmap(
+        lambda k: jax.random.uniform(k, (chunk, m), dtype=jnp.float32)
+    )(keys)
     perm = jnp.argsort(u, axis=-1)               # [B, K, m]
 
     pi = jax.nn.one_hot(perm, m, dtype=jnp.float32)   # [B, K, m, m]
@@ -84,40 +110,75 @@ def _perm_scores(
     return between - (asize + bsize) * chain       # [B, K]
 
 
+def _fold_chunk(keys: jax.Array, k) -> jax.Array:
+    """Per-window keys for chunk ``k``."""
+    return jax.vmap(jax.random.fold_in, in_axes=(0, None))(keys, k)
+
+
 @functools.partial(
     jax.jit,
-    static_argnames=("asize", "bsize", "chunk", "runs", "threshold"),
+    static_argnames=("asize", "bsize", "chunk", "runs", "threshold",
+                     "max_chunks", "backend"),
 )
 def mc_significance(
     dist: jnp.ndarray,      # [B, m, m]
     scores: jnp.ndarray,    # [B] observed CSS
-    key: jax.Array,
+    keys: jax.Array,        # [B] per-window PRNG keys
     asize: int,
     bsize: int,
     chunk: int,
     runs: int,
     threshold: int,
+    max_chunks: int | None = None,
+    state: tuple | None = None,
+    backend: str = "xla",
+    seed0: jnp.ndarray | None = None,
 ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """Full adaptive permutation MC for one window batch, on device.
+    """Adaptive permutation MC for one window batch, on device.
 
     Returns (pvals [B] f64, nscores [B] i32, hits [B] i32) with the
     reference estimator: stop a window at its ``threshold``-th hit
     (n = that permutation's 1-based index) or at ``runs``;
-    p = (hits+1)/(n+1) (css.c:727-752)."""
+    p = (hits+1)/(n+1) (css.c:727-752).
+
+    The permutation stream is chunk-indexed per window, so the loop is
+    RESUMABLE: ``max_chunks`` caps this call's loop and ``state`` =
+    (k0, hits0, nsc0, done0) continues a previous capped call with
+    bit-identical results — the building block of the two-stage
+    compaction in :func:`significance` that stops a batch's finished
+    windows from riding along with its slowest one.
+
+    ``backend="pallas"`` evaluates each chunk with the fused Pallas
+    kernel (on-core PRNG + odd-even sort network,
+    kernels/pallas/perm_pallas.py) seeded ``seed0 + chunk_index``.  The
+    estimator and adaptivity are identical; the permutation stream is
+    the TPU on-core PRNG keyed per (batch, chunk) instead of the
+    (chrom, slot)-pinned threefry — batch-composition invariance holds
+    only for the default "xla" backend (docs/PARITY.md)."""
     B = dist.shape[0]
     distf = dist.astype(jnp.float32)
     scoresf = scores.astype(jnp.float32)
     n_chunks = (runs + chunk - 1) // chunk
+    stop = n_chunks if max_chunks is None else min(n_chunks, max_chunks)
 
     def cond(carry):
         k, hits, nsc, done = carry
-        return (k < n_chunks) & ~jnp.all(done)
+        return (k < stop) & ~jnp.all(done)
 
     def body(carry):
         k, hits, nsc, done = carry
-        new_scores = _perm_scores(
-            distf, jax.random.fold_in(key, k), asize, bsize, chunk
-        )
+        if backend == "pallas":
+            from divergence_tpu.kernels.pallas.perm_pallas import (
+                perm_scores_pallas,
+            )
+
+            new_scores = perm_scores_pallas(
+                distf, seed0 + k, asize, bsize, chunk
+            )
+        else:
+            new_scores = _perm_scores(
+                distf, _fold_chunk(keys, k), asize, bsize, chunk
+            )
         offset = k * chunk
         counted = (offset + jnp.arange(chunk)) < runs       # [K]
         hit = (new_scores >= scoresf[:, None]) & counted[None, :]
@@ -139,12 +200,15 @@ def mc_significance(
         ).astype(jnp.int32)
         return k + jnp.int32(1), hits, nsc, done | reached
 
-    zero = jnp.zeros(B, dtype=jnp.int32)
-    _, hits, nsc, _ = jax.lax.while_loop(
-        cond, body, (jnp.int32(0), zero, zero, jnp.zeros(B, dtype=bool))
-    )
+    if state is None:
+        zero = jnp.zeros(B, dtype=jnp.int32)
+        state = (jnp.int32(0), zero, zero, jnp.zeros(B, dtype=bool))
+    _, hits, nsc, done = jax.lax.while_loop(cond, body, state)
     pvals = (hits + 1.0) / (nsc.astype(jnp.float64) + 1.0)
-    return pvals, nsc, hits
+    # a window is finished when it reached the hit threshold or the cap;
+    # under max_chunks the loop may stop earlier (resume via `state`)
+    finished = done | (nsc >= runs)
+    return pvals, nsc, hits, finished
 
 
 @functools.partial(
@@ -155,18 +219,19 @@ def permutation_chunk(
     scores: jnp.ndarray,    # [B] observed CSS per window
     need: jnp.ndarray,      # [B] hits still needed to reach the threshold
     limit: jnp.ndarray,     # scalar: #permutations of this chunk that count
-    key: jax.Array,
+    keys: jax.Array,        # [B] per-window PRNG keys
     asize: int,
     bsize: int,
     chunk: int,
 ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """One fixed-shape chunk of the null (building block / sharded step).
+    """One fixed-shape chunk of the null (building block of the sharded
+    divergence step, parallel/sharded.py).
 
     Returns (chunk_hits [B], reached [B] bool, pos [B]) where ``pos`` is
     the 0-based in-chunk index of the permutation that delivered the
     ``need``-th hit (valid only where ``reached``)."""
     new_scores = _perm_scores(
-        dist.astype(jnp.float32), key, asize, bsize, chunk
+        dist.astype(jnp.float32), keys, asize, bsize, chunk
     )
     counted = jnp.arange(chunk)[None, :] < limit
     hit = (new_scores >= scores[:, None].astype(jnp.float32)) & counted
@@ -183,87 +248,83 @@ class McResult:
     hits: np.ndarray       # [B]
 
 
-@functools.partial(
-    jax.jit, static_argnames=("asize", "bsize", "chunk")
-)
-def _null_moments(
-    dist: jnp.ndarray,     # [B, m, m]
-    key: jax.Array,
-    asize: int,
-    bsize: int,
-    chunk: int,
-) -> jnp.ndarray:
-    """First three central moments of the permutation null from one chunk
-    of ``chunk`` permutations per window: [3, B] (mean, var, mu3)."""
-    s = _perm_scores(dist.astype(jnp.float32), key, asize, bsize, chunk)
-    s64 = s.astype(jnp.float64)
-    mean = jnp.mean(s64, axis=-1)
-    d = s64 - mean[:, None]
-    var = jnp.mean(d * d, axis=-1)
-    mu3 = jnp.mean(d * d * d, axis=-1)
-    return jnp.stack([mean, var, mu3])
-
-
-def approx_significance(
-    dist: np.ndarray,
-    scores: np.ndarray,
-    asize: int,
-    bsize: int,
-    key: jax.Array,
-    chunk: int = 1024,
-    window_batch: int = 1024,
-) -> McResult:
-    """Pearson-III (moment-fitted) permutation p-values.
-
-    The permuted CSS is a bilinear permutation statistic of the fixed
-    distance matrix (between-block + adjacent-chain sums over sigma), the
-    class of statistics the MRPP literature shows is well-approximated by
-    a Pearson type III (shifted-gamma) null fitted to its first three
-    moments (Mielke & Berry, Permutation Methods).  One fixed-size chunk
-    of permutations estimates the moments; the tail is evaluated
-    analytically — ~200x less device work than the adaptive MC at 200k
-    runs, at the cost of model error in the extreme tail.  Use the exact
-    MC (``significance``) when reference-exact estimators are required.
-    """
-    from scipy import stats as sstats
-
-    B = len(scores)
-    pvals = np.ones(B, dtype=np.float64)
-    if B == 0:
-        return McResult(
-            pvals=pvals,
-            nscores=np.zeros(B, dtype=np.int64),
-            hits=np.zeros(B, dtype=np.int64),
-        )
-
-    dist_d = jnp.asarray(dist)
-    moments = np.zeros((3, B))
+def _batch_iter(B: int, window_batch: int, n_shards: int):
+    """Yield (batch_index, sel, padded_sel) — padded to a power of two
+    that also divides evenly over the mesh."""
     for bi, start in enumerate(range(0, B, window_batch)):
         sel = np.arange(start, min(start + window_batch, B))
         Bp = 8
         while Bp < len(sel):
             Bp *= 2
-        sel_p = np.concatenate([sel, np.full(Bp - len(sel), sel[0])])
-        mom = _null_moments(
-            dist_d[sel_p],
-            jax.random.fold_in(key, bi),
-            asize,
-            bsize,
-            chunk,
-        )
-        jax.block_until_ready(mom)
-        moments[:, sel] = jax.device_get(mom)[:, : len(sel)]
+        while Bp % n_shards:
+            Bp += n_shards - Bp % n_shards
+        pad = Bp - len(sel)
+        sel_p = np.concatenate([sel, np.full(pad, sel[0], dtype=np.int64)])
+        yield bi, sel, sel_p
 
-    mean, var, mu3 = moments
-    sd = np.sqrt(np.maximum(var, 1e-30))
+
+def _window_streams(key, B, chroms, slots, sharding):
+    """[B] per-window typed keys on the requested placement."""
+    if slots is None:
+        slots = np.arange(B, dtype=np.int64)
+    if chroms is None:
+        chroms = np.zeros(B, dtype=np.int64)
+    chroms_d = jnp.asarray(np.asarray(chroms, dtype=np.int64))
+    slots_d = jnp.asarray(np.asarray(slots, dtype=np.int64))
+    keys = window_keys(key, chroms_d, slots_d)
+    if sharding is not None:
+        keys = jax.device_put(keys, sharding)
+    return keys
+
+
+def _put(x, sharding):
+    x = jnp.asarray(x)
+    return jax.device_put(x, sharding) if sharding is not None else x
+
+
+@functools.partial(
+    jax.jit, static_argnames=("asize", "bsize", "chunk", "n_chunks")
+)
+def _null_power_sums(
+    dist: jnp.ndarray,     # [B, m, m]
+    keys: jax.Array,       # [B]
+    asize: int,
+    bsize: int,
+    chunk: int,
+    n_chunks: int,
+) -> jnp.ndarray:
+    """Power sums of the permutation null, per chunk: [n_chunks, 3, B]
+    with rows (sum s, sum s^2, sum s^3) in f64 — raw material for
+    moment fits and for chunk-convergence diagnostics."""
+    distf = dist.astype(jnp.float32)
+
+    def one(k):
+        s = _perm_scores(distf, _fold_chunk(keys, k), asize, bsize, chunk)
+        s64 = s.astype(jnp.float64)
+        return jnp.stack(
+            [
+                jnp.sum(s64, axis=-1),
+                jnp.sum(s64 * s64, axis=-1),
+                jnp.sum(s64 * s64 * s64, axis=-1),
+            ]
+        )
+
+    return jax.lax.map(one, jnp.arange(n_chunks))
+
+
+def _pearson3_tail(scores, s1, s2, s3, n):
+    """Upper-tail p under a Pearson-III fit to power sums (host, scipy)."""
+    from scipy import stats as sstats
+
+    mean = s1 / n
+    var = np.maximum(s2 / n - mean**2, 1e-30)
+    mu3 = s3 / n - 3 * mean * var - mean**3
+    sd = np.sqrt(var)
     skew = mu3 / np.maximum(sd**3, 1e-30)
     z = (scores - mean) / sd
 
-    # Pearson III: standardized gamma with shape a = 4/skew^2, matching
-    # the third moment; sign of the skew mirrors the distribution.
-    # |skew| ~ 0 degenerates to the normal tail.
     small = np.abs(skew) < 1e-3
-    p = np.empty(B)
+    p = np.empty(len(scores))
     p[small] = sstats.norm.sf(z[small])
     big = ~small
     if big.any():
@@ -277,11 +338,105 @@ def approx_significance(
         p[big] = np.where(pos, tail_hi, tail_lo)
         # beyond the distribution's support bound, the tail is 0/1
         p[big] = np.where(x <= 0.0, np.where(pos, 1.0, 0.0), p[big])
-    p = np.clip(p, 1e-300, 1.0)
+    return np.clip(p, 1e-300, 1.0)
+
+
+def approx_significance(
+    dist: np.ndarray,
+    scores: np.ndarray,
+    asize: int,
+    bsize: int,
+    key: jax.Array,
+    chunk: int = 1024,
+    window_batch: int = 1024,
+    chroms: np.ndarray | None = None,
+    slots: np.ndarray | None = None,
+    sharding=None,
+    n_chunks: int = 2,
+    stable_log10: float = 0.5,
+    max_rounds: int = 3,
+) -> McResult:
+    """Pearson-III (moment-fitted) permutation p-values.
+
+    The permuted CSS is a bilinear permutation statistic of the fixed
+    distance matrix (between-block + adjacent-chain sums over sigma), the
+    class of statistics the MRPP literature shows is well-approximated by
+    a Pearson type III (shifted-gamma) null fitted to its first three
+    moments (Mielke & Berry, Permutation Methods).  Chunks of
+    permutations estimate the moments; the tail is evaluated
+    analytically — ~200x less device work than the adaptive MC at 200k
+    runs, at the cost of model error in the extreme tail.  Use the exact
+    MC (``significance``) when reference-exact estimators are required.
+
+    Moment-convergence control (VERDICT round-1 weak #6): the fit is
+    computed from the first half of the sample and from the full sample;
+    windows whose |log10 p| moved more than ``stable_log10`` get their
+    sample doubled, up to ``max_rounds`` doublings.  The returned
+    ``nscores`` records the permutations actually spent per window.
+    """
+    B = len(scores)
+    if B == 0:
+        z = np.zeros(0)
+        return McResult(
+            pvals=z, nscores=z.astype(np.int64), hits=z.astype(np.int64)
+        )
+
+    n_shards = 1
+    if sharding is not None:
+        n_shards = getattr(sharding, "num_devices", None) or len(
+            sharding.device_set
+        )
+    if slots is None:
+        slots = np.arange(B, dtype=np.int64)
+    if chroms is None:
+        chroms = np.zeros(B, dtype=np.int64)
+
+    pvals = np.zeros(B)
+    nsc = np.zeros(B, dtype=np.int64)
+    for _, sel, sel_p in _batch_iter(B, window_batch, n_shards):
+        dist_b = _put(dist[sel_p], sharding)
+        keys_b = _window_streams(
+            key, len(sel_p), chroms[sel_p], slots[sel_p], sharding
+        )
+        nchunks = n_chunks
+        active = np.arange(len(sel))          # indices into sel
+        p_b = np.zeros(len(sel))
+        n_b = np.zeros(len(sel), dtype=np.int64)
+        # power sums accumulate; each round doubles the chunk count by
+        # extending the (deterministic, chunk-indexed) stream
+        sums = np.zeros((0, 3, len(sel_p)))
+        done_chunks = 0
+        for round_i in range(max_rounds + 1):
+            new = _null_power_sums(
+                dist_b, keys_b, asize, bsize, chunk, nchunks - done_chunks
+            )
+            jax.block_until_ready(new)
+            new = jax.device_get(new)
+            sums = np.concatenate([sums, new]) if len(sums) else new
+            done_chunks = nchunks
+
+            tot = sums.sum(axis=0)            # [3, Bp]
+            half = sums[: max(len(sums) // 2, 1)].sum(axis=0)
+            n_tot = done_chunks * chunk
+            n_half = max(len(sums) // 2, 1) * chunk
+            p_full = _pearson3_tail(
+                scores[sel_p], tot[0], tot[1], tot[2], n_tot
+            )[: len(sel)]
+            p_half = _pearson3_tail(
+                scores[sel_p], half[0], half[1], half[2], n_half
+            )[: len(sel)]
+            drift = np.abs(np.log10(p_full) - np.log10(p_half))
+            p_b[active] = p_full[active]
+            n_b[active] = n_tot
+            active = active[drift[active] > stable_log10]
+            if len(active) == 0 or round_i == max_rounds:
+                break
+            nchunks *= 2
+        pvals[sel] = p_b
+        nsc[sel] = n_b
+
     return McResult(
-        pvals=p,
-        nscores=np.full(B, chunk, dtype=np.int64),
-        hits=np.zeros(B, dtype=np.int64),
+        pvals=pvals, nscores=nsc, hits=np.zeros(B, dtype=np.int64)
     )
 
 
@@ -295,45 +450,121 @@ def significance(
     key: jax.Array,
     chunk: int = 256,
     window_batch: int = 1024,
+    chroms: np.ndarray | None = None,
+    slots: np.ndarray | None = None,
+    sharding=None,
+    backend: str = "xla",
 ) -> McResult:
     """Adaptive permutation p-values for a set of windows.
 
     Drives :func:`mc_significance` over padded window batches — one
     device dispatch + one host sync per batch, with the adaptive
-    chunk loop entirely on device."""
+    chunk loop entirely on device.  ``chroms``/``slots`` pin each
+    window's RNG stream to its genomic identity (batch- and
+    shard-invariant p-values); ``sharding`` places the window axis over
+    a mesh.  ``backend="pallas"`` selects the fused on-core-PRNG chunk
+    kernel (single-pass, streams keyed per batch+chunk — see
+    :func:`mc_significance`)."""
     B = len(scores)
+    if backend == "pallas" and chunk % 128 != 0:
+        chunk = ((chunk + 127) // 128) * 128  # Pallas lane constraint
     pvals = np.zeros(B, dtype=np.float64)
     nsc = np.zeros(B, dtype=np.int64)
     hits = np.zeros(B, dtype=np.int64)
     if B == 0:
         return McResult(pvals=pvals, nscores=nsc, hits=hits)
 
-    dist_d = jnp.asarray(dist)
-    for bi, start in enumerate(range(0, B, window_batch)):
-        sel = np.arange(start, min(start + window_batch, B))
-        Bp = 8
-        while Bp < len(sel):
-            Bp *= 2
-        pad = Bp - len(sel)
-        sel_p = np.concatenate([sel, np.full(pad, sel[0], dtype=np.int64)])
-        pv, n, h = mc_significance(
-            dist_d[sel_p],
-            jnp.asarray(scores[sel_p]),
-            jax.random.fold_in(key, bi),
-            asize,
-            bsize,
-            chunk,
-            runs,
-            threshold,
+    n_shards = 1
+    if sharding is not None:
+        n_shards = getattr(sharding, "num_devices", None) or len(
+            sharding.device_set
         )
+    if slots is None:
+        slots = np.arange(B, dtype=np.int64)
+    if chroms is None:
+        chroms = np.zeros(B, dtype=np.int64)
+
+    # Two-stage compaction: stage 1 gives every window ~stage1_perms
+    # permutations (enough for any non-significant window to hit the
+    # threshold); the surviving (significant) windows are compacted into
+    # a small batch that resumes its chunk-indexed streams to the cap —
+    # finished windows no longer ride along with their batch's slowest
+    # (up to window_batch x redundant device work before).  Results are
+    # bit-identical to the single-pass loop.
+    n_chunks_total = (runs + chunk - 1) // chunk
+    stage1 = min(n_chunks_total, max(1, -(-4096 // chunk)))
+
+    def _fetch(pv, n, h, fin):
         jax.block_until_ready(pv)
         packed = jax.device_get(
             jnp.stack(
-                [pv, n.astype(jnp.float64), h.astype(jnp.float64)]
+                [
+                    pv,
+                    n.astype(jnp.float64),
+                    h.astype(jnp.float64),
+                    fin.astype(jnp.float64),
+                ]
             )
         )
-        pvals[sel] = packed[0, : len(sel)]
-        nsc[sel] = packed[1, : len(sel)].astype(np.int64)
-        hits[sel] = packed[2, : len(sel)].astype(np.int64)
+        return (
+            packed[0],
+            packed[1].astype(np.int64),
+            packed[2].astype(np.int64),
+            packed[3] != 0.0,
+        )
+
+    for bi, sel, sel_p in _batch_iter(B, window_batch, n_shards):
+        dist_b = _put(dist[sel_p], sharding)
+        scores_b = _put(scores[sel_p], sharding)
+        keys_b = _window_streams(
+            key, len(sel_p), chroms[sel_p], slots[sel_p], sharding
+        )
+        seed0 = None
+        compact = stage1 if stage1 < n_chunks_total else None
+        if backend == "pallas":
+            # per-batch on-core-PRNG seed; single-pass (chunk streams are
+            # batch-keyed, so a compacted resume would replay different
+            # permutations than the single-pass loop)
+            seed0 = jax.random.randint(
+                jax.random.fold_in(key, 555 + bi), (), 0, 2**31 - 200_000
+            ).astype(jnp.int32)
+            compact = None
+        out = mc_significance(
+            dist_b, scores_b, keys_b, asize, bsize, chunk, runs,
+            threshold, max_chunks=compact, backend=backend, seed0=seed0,
+        )
+        pv, n, h, fin = _fetch(*out)
+        pvals[sel] = pv[: len(sel)]
+        nsc[sel] = n[: len(sel)]
+        hits[sel] = h[: len(sel)]
+
+        uf = np.nonzero(~fin[: len(sel)])[0]
+        if len(uf) == 0:
+            continue
+        # stage 2: resume the unfinished windows' streams from chunk
+        # `stage1` with their carried (hits, nscores)
+        g = sel[uf]                      # global indices
+        for _, s2, s2_p in _batch_iter(len(g), window_batch, n_shards):
+            gg = g[s2_p]
+            dist2 = _put(dist[gg], sharding)
+            scores2 = _put(scores[gg], sharding)
+            keys2 = _window_streams(
+                key, len(gg), chroms[gg], slots[gg], sharding
+            )
+            state = (
+                jnp.int32(stage1),
+                _put(hits[gg].astype(np.int32), sharding),
+                _put(nsc[gg].astype(np.int32), sharding),
+                _put(np.zeros(len(gg), dtype=bool), sharding),
+            )
+            out2 = mc_significance(
+                dist2, scores2, keys2, asize, bsize, chunk, runs,
+                threshold, state=state,
+            )
+            pv2, n2, h2, _ = _fetch(*out2)
+            tgt = g[s2]
+            pvals[tgt] = pv2[: len(s2)]
+            nsc[tgt] = n2[: len(s2)]
+            hits[tgt] = h2[: len(s2)]
 
     return McResult(pvals=pvals, nscores=nsc, hits=hits)

@@ -148,7 +148,10 @@ int gtrack_parse(const char* path, struct GtrackResult* out, int n_threads) {
   long fsize = ftell(f);
   fseek(f, 0, SEEK_SET);
   if (fsize < 0) { fclose(f); return -2; }
-  std::vector<char> buf(static_cast<size_t>(fsize));
+  // +1: NUL sentinel so the strtod fallback in scan_f64 (which takes a
+  // C string, not a bounded range) can never read past the buffer when
+  // the last line has no trailing newline
+  std::vector<char> buf(static_cast<size_t>(fsize) + 1, '\0');
   if (fsize > 0 && fread(buf.data(), 1, static_cast<size_t>(fsize), f) !=
                        static_cast<size_t>(fsize)) {
     fclose(f);
@@ -160,7 +163,7 @@ int gtrack_parse(const char* path, struct GtrackResult* out, int n_threads) {
     n_threads = static_cast<int>(std::thread::hardware_concurrency());
     if (n_threads <= 0) n_threads = 4;
   }
-  size_t nbytes = buf.size();
+  size_t nbytes = static_cast<size_t>(fsize);  // sentinel byte excluded
   if (nbytes < (1u << 20)) n_threads = 1;  // small files: no thread tax
 
   // chunk boundaries snapped to line starts

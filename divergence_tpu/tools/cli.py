@@ -168,7 +168,12 @@ def _run_engine(args, engine, cfg, columns, engine_multi=None) -> None:
                 continue
             with summary.stage(seqid):
                 results[seqid] = engine(
-                    pair, regend, cfg, sharding=sharding, summary=summary
+                    pair,
+                    regend,
+                    cfg,
+                    sharding=sharding,
+                    summary=summary,
+                    seqid=seqid,
                 )
             nw = int((results[seqid][0] != 0).sum())
             total_windows += nw
@@ -223,6 +228,7 @@ def cmd_run_css(args) -> None:
         mc_chunk=args.mc_chunk,
         precision=args.precision,
         p_mode=args.p_mode,
+        perm_backend=args.perm_backend,
     )
     from divergence_tpu.engine.css_engine import run_css_multi
 
@@ -408,6 +414,13 @@ def build_parser() -> argparse.ArgumentParser:
         "compute, approximate extreme tail)",
     )
     p.add_argument("--drosophila", action="store_true")
+    p.add_argument(
+        "--perm-backend",
+        choices=["xla", "pallas"],
+        default="xla",
+        help="MC chunk evaluator: xla (stream-pinned threefry) or the "
+        "fused Pallas on-core-PRNG kernel",
+    )
     p.set_defaults(fn=cmd_run_css)
 
     p = sub.add_parser(
@@ -424,10 +437,12 @@ def build_parser() -> argparse.ArgumentParser:
 
     p = sub.add_parser(
         "bench-scaling",
-        help="weak-scaling efficiency of the sharded step over 1..N devices",
+        help="weak+strong scaling of the sharded step over 1..N devices",
     )
     p.add_argument("--devices", type=int, default=None)
     p.add_argument("--windows-per-device", type=int, default=256)
+    p.add_argument("--total-windows", type=int, default=None)
+    p.add_argument("--mc-chunk", type=int, default=128)
     p.set_defaults(fn=_cmd_bench_scaling)
 
     p = sub.add_parser("filter-fet", help="FET region calling (Burke limit)")

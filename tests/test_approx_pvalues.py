@@ -26,22 +26,20 @@ def null_batch(rng):
 def _observed_at_quantile(dist, q, asize, bsize, key):
     """Observed scores placed at a chosen null quantile (so the true p is
     known by construction)."""
-    mom = np.asarray(
-        kperm._null_moments(
-            jax.numpy.asarray(dist), key, asize, bsize, 4096
-        )
+    import jax.numpy as jnp
+
+    B = len(dist)
+    keys = kperm.window_keys(
+        jax.random.fold_in(key, 99),
+        jnp.zeros(B, dtype=jnp.int64),
+        jnp.arange(B, dtype=jnp.int64),
     )
-    # use an empirical sample for the quantile, not the moments
     s = np.asarray(
         kperm._perm_scores(
-            jax.numpy.asarray(dist).astype(jax.numpy.float32),
-            jax.random.fold_in(key, 99),
-            asize,
-            bsize,
-            4096,
+            jnp.asarray(dist).astype(jnp.float32), keys, asize, bsize, 4096
         )
     )
-    return np.quantile(s, 1 - q, axis=-1), mom
+    return np.quantile(s, 1 - q, axis=-1), None
 
 
 def test_approx_matches_mc_moderate_tail(null_batch):
@@ -82,6 +80,25 @@ def test_approx_monotone_and_bounded(null_batch):
     ).pvals
     assert (p_hi < 1e-6).all()
     assert (p_lo > 0.999).all()
+
+
+def test_approx_moment_convergence(null_batch):
+    """Doubling the moment sample must leave fitted p-values stable
+    (|log10 drift| small) for p >= ~1e-3, and the adaptive doubling must
+    record its extra spending in nscores."""
+    asize, bsize = 11, 10
+    key = jax.random.PRNGKey(13)
+    obs, _ = _observed_at_quantile(null_batch, 0.02, asize, bsize, key)
+    small = kperm.approx_significance(
+        null_batch, obs, asize, bsize, key, chunk=512, n_chunks=2
+    )
+    big = kperm.approx_significance(
+        null_batch, obs, asize, bsize, key, chunk=512, n_chunks=8
+    )
+    drift = np.abs(np.log10(small.pvals) - np.log10(big.pvals))
+    assert np.median(drift) < 0.25, np.median(drift)
+    assert (small.nscores >= 2 * 512).all()
+    assert (big.nscores >= 8 * 512).all()
 
 
 def test_engine_p_mode_approx(rng):

@@ -201,15 +201,15 @@ def test_multi_chromosome_engines_match_looped(rng):
     fcfg = FetConfig(window=WCFG, bootstrap_samples=4)
     multi = run_fet_multi(pairs, fcfg)
     for seqid, (pair, regend) in pairs.items():
-        s, d = run_fet(pair, regend, fcfg)
+        s, d = run_fet(pair, regend, fcfg, seqid=seqid)
         np.testing.assert_array_equal(multi[seqid][0], s)
         np.testing.assert_array_equal(multi[seqid][1], d)
 
     ccfg = CssConfig(window=WCFG, mc_runs=300, mc_chunk=128)
     multi = run_css_multi(pairs, ccfg)
     for seqid, (pair, regend) in pairs.items():
-        s, p = run_css(pair, regend, ccfg)
+        s, p = run_css(pair, regend, ccfg, seqid=seqid)
         np.testing.assert_allclose(multi[seqid][0], s, rtol=1e-12)
-        # p-values: same estimator; the genome-wide MC batches windows
-        # differently (different RNG stream) — structural equality only
-        np.testing.assert_array_equal(multi[seqid][1] > 0, p > 0)
+        # per-window RNG streams are (seed, seqid, slot)-pinned, so the
+        # genome-wide MC reproduces the per-chromosome MC bit-for-bit
+        np.testing.assert_array_equal(multi[seqid][1], p)

@@ -54,6 +54,53 @@ def test_gtrack_population_size_inference(tmp_path):
     assert t.npos == 3
 
 
+def test_chunked_fallback_reader_bounded_blocks(tmp_path):
+    """The portable parser must stream in bounded blocks: a file much
+    larger than block_bytes parses identically to one-shot reading."""
+    from divergence_tpu.io.gtrack import _read_rows_chunked
+
+    p = tmp_path / "big.gtrack"
+    rng = np.random.default_rng(3)
+    n = 5000
+    pos = np.sort(rng.choice(np.arange(1, 100_000), n, replace=False))
+    with open(p, "w") as f:
+        f.write(gtrack_points_header("g"))
+        for k in range(n):
+            for i in range(3):
+                f.write(f"chr1\t{pos[k]}\t{int(rng.choice([3,-3,0]))}\ti{i}\n")
+
+    small = _read_rows_chunked(p, block_bytes=4096)   # many blocks
+    big = _read_rows_chunked(p, block_bytes=1 << 30)  # one block
+    assert small[0] == big[0]
+    for a, b in zip(small[1:], big[1:]):
+        np.testing.assert_array_equal(a, b)
+
+    t = read_gtrack_points(p)["chr1"]
+    assert t.size == 3 and t.npos == n
+
+
+def test_snptable_missing_ids_raise(tmp_path):
+    """Typo'd individual IDs must be a hard error, not a silently
+    shrunken panel (a wrong population size changes every statistic)."""
+    from divergence_tpu.io.snptable import snp_table_to_gtrack
+
+    table = tmp_path / "snps.tsv"
+    table.write_text(
+        "#seqid\tpos\tallele1\tallele2\tfishA\tfishB\n"
+        "chrI\t100\tA\tG\tAA\tAG\n"
+        "chrI\t200\tC\tT\tCT\tTT\n"
+    )
+    out = tmp_path / "out.gtrack"
+    with pytest.raises(ValueError, match="fishZ"):
+        snp_table_to_gtrack(table, ["fishA", "fishZ"], out, "g")
+    with pytest.raises(ValueError, match="no individual IDs"):
+        snp_table_to_gtrack(table, [], out, "g")
+    labels = snp_table_to_gtrack(table, ["fishA", "fishB"], out, "g")
+    assert labels == ["fishA", "fishB"]
+    t = read_gtrack_points(out)["chrI"]
+    assert t.size == 2 and t.npos == 2
+
+
 def test_score_track_roundtrip(tmp_path):
     scores = np.array([0.0, 1.5, 0.0, 2.5])
     stddev = np.array([0.0, 0.1, 0.0, 0.2])

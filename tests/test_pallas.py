@@ -52,6 +52,45 @@ def test_sort_network_and_scoring_vs_oracle(dists, rng):
                 assert got == pytest.approx(want, abs=5e-7), (b, kt, lane)
 
 
+def test_pallas_backend_plumbing():
+    """perm_backend config/CLI plumbing (the kernel itself only compiles
+    on TPU Mosaic; hardware equivalence is checked in the bench)."""
+    import pytest as _pytest
+
+    from divergence_tpu.config import CssConfig
+
+    cfg = CssConfig(perm_backend="pallas")
+    assert cfg.perm_backend == "pallas"
+    with _pytest.raises(ValueError):
+        CssConfig(perm_backend="cuda")
+
+
+@pytest.mark.skipif(
+    jax.default_backend() != "tpu",
+    reason="Mosaic kernel requires TPU (interpret mode lacks the "
+    "on-core PRNG)",
+)
+def test_pallas_backend_significance_tpu():
+    """On hardware: the pallas-backend adaptive MC agrees with the XLA
+    backend statistically (same estimator, different stream)."""
+    from divergence_tpu.kernels import perm as kperm
+
+    rng = np.random.default_rng(0)
+    B, m, asize, bsize = 16, 21, 11, 10
+    d = rng.random((B, m, m))
+    d = d + d.transpose(0, 2, 1)
+    for i in range(B):
+        np.fill_diagonal(d[i], 0.0)
+    obs = np.quantile(d.reshape(B, -1), 0.75, axis=-1)
+    key = jax.random.PRNGKey(1)
+    r_x = kperm.significance(d, obs, asize, bsize, 20, 5000, key, chunk=256)
+    r_p = kperm.significance(
+        d, obs, asize, bsize, 20, 5000, key, chunk=256, backend="pallas"
+    )
+    ratio = r_p.pvals / np.maximum(r_x.pvals, 1e-12)
+    assert 0.3 < np.median(ratio) < 3.0
+
+
 def test_unbalanced_groups(dists, rng):
     """Chain weights with a singleton group (w == 0 for that side)."""
     m = dists.shape[-1]
