@@ -124,7 +124,10 @@ def main() -> None:
     import os
 
     cpu_fallback = False
-    if not _probe_backend(timeout_s=240, attempts=3, wait_s=45):
+    attempts = int(os.environ.get("BENCH_PROBE_ATTEMPTS", "3"))
+    if attempts == 0 or not _probe_backend(
+        timeout_s=240, attempts=attempts, wait_s=45
+    ):
         print(
             "[bench] default backend unavailable (tunnel down?) - "
             "falling back to CPU with a reduced workload",

@@ -48,9 +48,6 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from divergence_tpu.kernels.css import chain_weights
-
-
 def chrom_hash(seqid: str) -> int:
     """Stable 31-bit chromosome identifier for RNG stream derivation
     (stable across python processes, hosts, and partitionings)."""
@@ -73,41 +70,48 @@ def _perm_scores(
 ) -> jnp.ndarray:
     """CSS of ``chunk`` random label permutations per window: [B, K] f32.
 
-    Gather-free: with the permutation one-hot Pi ([B, K, m, m],
-    Pi[i, p_i] = 1) ONE batched matmul A = Pi @ D gives
-    A[..., i, :] = D[p_i, :], from which
+    Rank-based, fusion-friendly formulation.  The permutation is encoded
+    as RANKS r_j (position of individual j in the stable argsort of the
+    per-permutation uniforms — computed by pairwise compares with
+    index tie-break, NOT a sort), from which the reference CSS
+    (css.c:608-647) collapses to ONE fused broadcast-multiply-reduce
+    against D:
 
-    * between-sum: rowsum_j = sum_{i<asize} A[..., i, j] = (u^T D)_j and
-      u_j = sum_{i<asize} Pi[..., i, j], so
-      between = sum_j rowsum_j (1 - u_j) / (a*b);
-    * adjacent chain: D[p_i, p_{i+1}] = sum_j A[..., i, j] Pi[..., i+1, j]
-      — an elementwise product + reduce instead of 20M scalar gathers
-      (TPU gathers ran ~70 M/s and dominated the chunk; the matmul form
-      is pure MXU/VPU work).
-    """
-    B, m = distf.shape[0], distf.shape[-1]
-    u = jax.vmap(
+      score = sum_{j,l} D[j,l] * [ u_j (1-u_l)/(a b)
+                                   - (a+b) w(r_j) 1[r_l = r_j + 1] ]
+
+    with u_j = 1[r_j < a] (j lands in group A) and w(r) the per-rank
+    adjacent-chain weight (css.c:627-641 order-dependent chains).  The
+    earlier one-hot/matmul version materialized TWO [B, K, m, m] f32
+    intermediates (Pi, Pi@D) in HBM per chunk — at m=21 that traffic,
+    not FLOPs, bounded perms/s; here the [B, K, m, m] terms are pure
+    elementwise broadcasts that XLA fuses into the reduction (4.5x on
+    CPU; no materialized intermediate).  The permutation per (window,
+    chunk, lane) is IDENTICAL to the argsort formulation, so the
+    estimator and its stream-pinning are unchanged (summation order
+    differs at f32 epsilon)."""
+    m = distf.shape[-1]
+    x = jax.vmap(
         lambda k: jax.random.uniform(k, (chunk, m), dtype=jnp.float32)
     )(keys)
-    perm = jnp.argsort(u, axis=-1)               # [B, K, m]
+    xi = x[..., :, None]
+    xl = x[..., None, :]
+    tie = jnp.arange(m)[:, None] > jnp.arange(m)[None, :]
+    cmp = (xi > xl) | ((xi == xl) & tie)
+    r = jnp.sum(cmp.astype(jnp.int32), axis=-1)        # [B, K, m] ranks
 
-    pi = jax.nn.one_hot(perm, m, dtype=jnp.float32)   # [B, K, m, m]
-    a = jax.lax.dot_general(
-        pi.reshape(B, chunk * m, m),
-        distf,
-        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32,
-    ).reshape(B, chunk, m, m)                     # A[..., i, :] = D[p_i, :]
+    u = (r < asize).astype(jnp.float32)
+    # per-rank chain weight (chain_weights semantics, arithmetic form —
+    # no table gather): wa for ranks 0..a-2, 0 at the group boundary
+    # a-1, wb for ranks a..m-2, 0 at the last rank
+    wa = 1.0 / (asize * asize * (asize - 1)) if asize > 1 else 0.0
+    wb = 1.0 / (bsize * bsize * (bsize - 1)) if bsize > 1 else 0.0
+    wj = wa * (r < asize - 1) + wb * ((r >= asize) & (r < m - 1))
 
-    ua = jnp.sum(pi[..., :asize, :], axis=-2)     # [B, K, m]
-    rowsum = jnp.sum(a[..., :asize, :], axis=-2)  # [B, K, m]
-    between = jnp.sum(rowsum * (1.0 - ua), axis=-1) / (asize * bsize)
-
-    d_pairs = jnp.sum(a[..., :-1, :] * pi[..., 1:, :], axis=-1)  # [B,K,m-1]
-    w = chain_weights(asize, bsize).astype(jnp.float32)
-    chain = jnp.sum(d_pairs * w, axis=-1)
-
-    return between - (asize + bsize) * chain       # [B, K]
+    adj = (r[..., None, :] == r[..., :, None] + 1).astype(jnp.float32)
+    coeff = (u[..., :, None] * (1.0 - u[..., None, :])) / (asize * bsize) \
+        - (asize + bsize) * wj[..., :, None] * adj
+    return jnp.sum(distf[:, None] * coeff, axis=(-1, -2))   # [B, K]
 
 
 def _fold_chunk(keys: jax.Array, k) -> jax.Array:
