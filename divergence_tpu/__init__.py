@@ -25,8 +25,9 @@ Layers (bottom up):
 * :mod:`divergence_tpu.tools`    — CLI replacing the reference's 5 GUI tools
 * :mod:`divergence_tpu.oracle`   — NumPy re-statement of the exact reference
   semantics used as the parity fixture generator
-* ``native/``                    — C++ host runtime (fast GTrack parsing,
-  window planner, CPU baseline oracle) loaded via ctypes
+* ``native/``                    — C++ host runtime (threaded GTrack
+  parser) loaded via ctypes, with a pure-Python fallback; the honest
+  reference-C baseline harness lives in ``baseline/`` at the repo root
 """
 
 import os as _os

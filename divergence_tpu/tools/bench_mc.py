@@ -1,0 +1,117 @@
+"""Permutation-MC chunk micro-benchmark: XLA (rank-fused) vs Pallas.
+
+Measures raw permutations/second of the two chunk evaluators on the
+current backend, on the production shape (stickleback panel, m=21).
+This is the measured artifact behind the ``perm_backend`` choice
+(VERDICT round-1 item 6): run on the TPU machine, keep the winner as
+the default.
+
+Timing protocol for the remote-tunnel TPU (see CLAUDE.md): work is
+only forced by a device_get, so each measurement fetches a reduced
+scalar; the first call per shape pays the (persistent-cached) compile.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+
+def run_mc_bench(
+    window_batch: int = 1024,
+    chunk: int = 256,
+    iters: int = 4,
+    asize: int = 11,
+    bsize: int = 10,
+    backends: tuple[str, ...] = ("xla", "pallas"),
+) -> dict:
+    import jax
+    import jax.numpy as jnp
+
+    from divergence_tpu.kernels import perm as kperm
+
+    m = asize + bsize
+    rng = np.random.default_rng(0)
+    d = rng.random((window_batch, m, m))
+    d = d + d.transpose(0, 2, 1)
+    for i in range(window_batch):
+        np.fill_diagonal(d[i], 0.0)
+    distf = jnp.asarray(d, dtype=jnp.float32)
+    keys = kperm.window_keys(
+        jax.random.PRNGKey(1),
+        jnp.zeros(window_batch, dtype=jnp.int64),
+        jnp.arange(window_batch, dtype=jnp.int64),
+    )
+
+    # pallas requires lane-multiple chunks
+    pallas_chunk = ((chunk + 127) // 128) * 128
+
+    @jax.jit
+    def xla_chunk(k):
+        s = kperm._perm_scores(
+            distf, kperm._fold_chunk(keys, k), asize, bsize, chunk
+        )
+        return jnp.sum(s)
+
+    def make_pallas():
+        from divergence_tpu.kernels.pallas.perm_pallas import (
+            perm_scores_pallas,
+        )
+
+        @jax.jit
+        def pallas_chunk_fn(seed):
+            s = perm_scores_pallas(distf, seed, asize, bsize, pallas_chunk)
+            return jnp.sum(s)
+
+        return pallas_chunk_fn
+
+    results = {
+        "backend": jax.default_backend(),
+        "window_batch": window_batch,
+        "m": m,
+    }
+    for name in backends:
+        try:
+            if name == "xla":
+                fn, arg0, nperm = xla_chunk, jnp.int32(0), chunk
+            else:
+                fn, arg0, nperm = make_pallas(), jnp.int32(1), pallas_chunk
+            jax.device_get(fn(arg0))                  # compile + warm
+            t0 = time.perf_counter()
+            acc = 0.0
+            for i in range(iters):
+                acc += float(jax.device_get(fn(arg0 + i + 1)))
+            dt = time.perf_counter() - t0
+            perms = window_batch * nperm * iters
+            results[name] = {
+                "chunk": nperm,
+                "wall_s": round(dt, 4),
+                "perms_per_s": round(perms / dt),
+                "checksum": round(acc, 2),
+            }
+        except Exception as e:  # pallas may not compile off-TPU
+            results[name] = {"error": f"{type(e).__name__}: {e}"[:300]}
+    return results
+
+
+def main(args) -> None:
+    report = run_mc_bench(
+        window_batch=args.window_batch,
+        chunk=args.chunk,
+        iters=args.iters,
+        backends=tuple(args.backends.split(",")),
+    )
+    print(json.dumps(report, indent=2))
+
+
+if __name__ == "__main__":
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--window-batch", type=int, default=1024)
+    ap.add_argument("--chunk", type=int, default=256)
+    ap.add_argument("--iters", type=int, default=4)
+    ap.add_argument("--backends", default="xla,pallas")
+    main(ap.parse_args())

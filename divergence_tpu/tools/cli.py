@@ -252,6 +252,12 @@ def _cmd_report(args) -> None:
     print(f"wrote {args.out}")
 
 
+def _cmd_bench_mc(args) -> None:
+    from divergence_tpu.tools.bench_mc import main as bench_mc_main
+
+    bench_mc_main(args)
+
+
 def _cmd_bench_scaling(args) -> None:
     from divergence_tpu.tools.bench_scaling import main as bench_main
 
@@ -444,6 +450,16 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--total-windows", type=int, default=None)
     p.add_argument("--mc-chunk", type=int, default=128)
     p.set_defaults(fn=_cmd_bench_scaling)
+
+    p = sub.add_parser(
+        "bench-mc",
+        help="permutation-MC chunk throughput: xla vs pallas evaluators",
+    )
+    p.add_argument("--window-batch", type=int, default=1024)
+    p.add_argument("--chunk", type=int, default=256)
+    p.add_argument("--iters", type=int, default=4)
+    p.add_argument("--backends", default="xla,pallas")
+    p.set_defaults(fn=_cmd_bench_mc)
 
     p = sub.add_parser("filter-fet", help="FET region calling (Burke limit)")
     p.add_argument("--scores", required=True)
