@@ -227,6 +227,44 @@ def test_mc_batch_composition_invariance():
     assert one.pvals[0] == full.pvals[4]
 
 
+def test_two_stage_compaction_matches_single_pass():
+    """significance()'s stage-1/stage-2 compaction (runs > stage-1
+    budget) must equal the uncompacted on-device loop bit-for-bit —
+    the chunk-indexed streams make the resume exact."""
+    import jax.numpy as jnp
+
+    from divergence_tpu.kernels import perm as kperm
+
+    B, m, asize, bsize = 12, 9, 5, 4
+    dist = _null_dists(31, B, m)
+    # high quantile -> some windows stay unfinished past stage 1
+    scores = np.quantile(dist.reshape(B, -1), 0.97, axis=-1)
+    key = jax.random.PRNGKey(4)
+    chunk, runs, threshold = 64, 8000, 10
+    chroms = np.full(B, 3, dtype=np.int64)
+    slots = np.arange(B, dtype=np.int64)
+
+    got = kperm.significance(
+        dist, scores, asize, bsize, threshold, runs, key,
+        chunk=chunk, chroms=chroms, slots=slots,
+    )
+    # sanity: the workload actually exercises stage 2
+    stage1_perms = max(1, -(-4096 // chunk)) * chunk
+    assert (got.nscores > stage1_perms).any(), "fixture finished in stage 1"
+
+    keys = kperm.window_keys(
+        key, jnp.asarray(chroms), jnp.asarray(slots)
+    )
+    pv, n, h, fin = kperm.mc_significance(
+        jnp.asarray(dist), jnp.asarray(scores), keys,
+        asize, bsize, chunk, runs, threshold,
+    )
+    assert bool(np.asarray(fin).all())
+    np.testing.assert_array_equal(got.pvals, np.asarray(pv))
+    np.testing.assert_array_equal(got.nscores, np.asarray(n))
+    np.testing.assert_array_equal(got.hits, np.asarray(h))
+
+
 def test_css_engine_sharded_mc_path(panel):
     """run_css with --shard semantics: both phases sharded, results equal
     to the unsharded run (the round-1 gap: the MC ignored sharding)."""
