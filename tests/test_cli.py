@@ -355,3 +355,21 @@ def test_cli_multi_chromosome_genome(tmp_path):
         if ln and not ln.startswith("#")
     ]
     assert {r[0] for r in rows} == {"chr1", "chr2"}
+
+    # the per-chromosome loop (--resume) and the genome-wide engine must
+    # write identical tracks — RNG streams are (seed, chrom, slot)-pinned
+    # so the CSS MC p-values agree bit-for-bit across the two paths
+    cli_main(
+        [
+            "run-css",
+            "--pop-a", str(tmp_path / "a.gtrack"),
+            "--pop-b", str(tmp_path / "b.gtrack"),
+            "--out", str(tmp_path / "css_resume.track"),
+            "--chrom-sizes", str(tmp_path / "chrom.sizes"),
+            "--mc-runs", "300",
+            "--resume",
+        ]
+    )
+    assert (tmp_path / "css_resume.track").read_text() == (
+        tmp_path / "css.track"
+    ).read_text()
