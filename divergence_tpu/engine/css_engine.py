@@ -92,56 +92,54 @@ def _css_phase1_dispatch(
 def _css_phase1_fetch(all_pending):
     """ONE host sync for any number of chromosomes' phase-1 buckets.
 
-    Packs (dist | score | valid) per window into one [sumB, m*m+2] device
-    array (a pytree device_get fetches leaf-by-leaf); blocks on the
-    in-flight kernels first (eager ops over still-executing inputs hit a
-    slow path on remote-device backends).  Returns the fetched rows."""
+    Fetches only (score | valid) per window — one [sumB, 2] device array
+    (a pytree device_get fetches leaf-by-leaf).  The distance matrices
+    STAY ON DEVICE for phase 2: round-tripping them through the host
+    cost ~3.5 KB/window in each direction, which dominated wall time on
+    remote-tunnel backends (~30 MB/s h2d).  Blocks on the in-flight
+    kernels first (eager ops over still-executing inputs hit a slow path
+    on remote-device backends)."""
     jax.block_until_ready([s for _, s, _, _ in all_pending])
     packed = jnp.concatenate(
         [
-            jnp.concatenate(
-                [
-                    d.reshape(d.shape[0], -1),
-                    s[:, None],
-                    v[:, None].astype(s.dtype),
-                ],
-                axis=1,
-            )
-            for _, s, d, v in all_pending
+            jnp.stack([s, v.astype(s.dtype)], axis=1)
+            for _, s, _, v in all_pending
         ]
     )
     return jax.device_get(packed)
 
 
 def _css_collect(pending, fetched, m: int, off: int):
-    """Unpack one chromosome's rows: (slots, svals, dists, n_discarded,
-    next offset)."""
-    all_slots, all_scores, all_dist = [], [], []
+    """Unpack one chromosome's rows: (slots, svals, dists_dev,
+    n_discarded, next offset).  ``dists_dev`` is a list of
+    (device_array, row_indices) picks — concatenated lazily on device by
+    the caller."""
+    all_slots, all_scores, dist_picks = [], [], []
     n_discarded = 0
-    for bucket, s_d, _, _ in pending:
+    for bucket, s_d, d_dev, _ in pending:
         Bp = s_d.shape[0]
         Bw = len(bucket.window_ids)
         rows = fetched[off : off + Bw]
         off += Bp
-        dist = rows[:, : m * m].reshape(Bw, m, m)
-        s = rows[:, m * m]
-        valid = rows[:, m * m + 1] != 0.0
+        s = rows[:, 0]
+        valid = rows[:, 1] != 0.0
         n_discarded += int((~valid & (bucket.npos > 0)).sum())
         all_slots.append(bucket.slot[valid])
         all_scores.append(s[valid])
-        all_dist.append(dist[valid])
+        if valid.any():
+            dist_picks.append((d_dev, np.nonzero(valid)[0]))
     if not all_scores:
         return (
             np.zeros(0, np.int64),
             np.zeros(0),
-            np.zeros((0, m, m)),
+            [],
             n_discarded,
             off,
         )
     return (
         np.concatenate(all_slots),
         np.concatenate(all_scores),
-        np.concatenate(all_dist),
+        dist_picks,
         n_discarded,
         off,
     )
@@ -223,7 +221,11 @@ def run_css_multi(
     svals_all = np.concatenate([c[3] for c in chrom_data]) if chrom_data else np.zeros(0)
     results: dict[str, tuple[np.ndarray, np.ndarray]] = {}
     if len(svals_all):
-        dists_all = np.concatenate([c[4] for c in chrom_data])
+        # device-side gather + concat of the valid windows' distance
+        # matrices (never fetched to host)
+        dists_all = jnp.concatenate(
+            [d[idx] for c in chrom_data for d, idx in c[4]]
+        )
         # per-window RNG identity: (chromosome, slot) — MC p-values are
         # invariant to batch composition, sharding, and host partition
         chroms_all = np.concatenate(
