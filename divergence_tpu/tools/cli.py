@@ -252,6 +252,12 @@ def _cmd_report(args) -> None:
     print(f"wrote {args.out}")
 
 
+def _cmd_doctor(args) -> None:
+    from divergence_tpu.tools.doctor import main as doctor_main
+
+    doctor_main(args)
+
+
 def _cmd_bench_mc(args) -> None:
     from divergence_tpu.tools.bench_mc import main as bench_mc_main
 
@@ -460,6 +466,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--iters", type=int, default=4)
     p.add_argument("--backends", default="xla,pallas")
     p.set_defaults(fn=_cmd_bench_mc)
+
+    p = sub.add_parser(
+        "doctor",
+        help="environment diagnostics: backend/tunnel, caches, native",
+    )
+    p.add_argument("--timeout", type=int, default=60)
+    p.set_defaults(fn=_cmd_doctor)
 
     p = sub.add_parser("filter-fet", help="FET region calling (Burke limit)")
     p.add_argument("--scores", required=True)

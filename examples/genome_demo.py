@@ -84,12 +84,21 @@ def main():
     workdir.mkdir(parents=True, exist_ok=True)
     stages = {}
 
+    # --small: 2 chromosomes x 20k SNPs — CPU-friendly validation of the
+    # identical pipeline (the full genome is the TPU showcase)
+    small = "--small" in sys.argv
+    gen_kwargs = (
+        dict(n_chrom=2, snps_per_chrom=20_000, chrom_len=1_000_000)
+        if small
+        else {}
+    )
+
     if (workdir / "popA.gtrack").exists():
         print("reusing existing genome files")
         stages["generate"] = 0.0
     else:
         t0 = time.perf_counter()
-        ndiv = generate_genome(workdir)
+        ndiv = generate_genome(workdir, **gen_kwargs)
         stages["generate"] = time.perf_counter() - t0
         print(f"generated genome with ~{ndiv} divergent 25kb blocks "
               f"({stages['generate']:.0f}s)")
