@@ -84,21 +84,28 @@ def _perm_scores(
     adjacent-chain weight (css.c:627-641 order-dependent chains).  The
     earlier one-hot/matmul version materialized TWO [B, K, m, m] f32
     intermediates (Pi, Pi@D) in HBM per chunk — at m=21 that traffic,
-    not FLOPs, bounded perms/s; here the [B, K, m, m] terms are pure
-    elementwise broadcasts that XLA fuses into the reduction (4.5x on
-    CPU; no materialized intermediate).  The permutation per (window,
-    chunk, lane) is IDENTICAL to the argsort formulation, so the
-    estimator and its stream-pinning are unchanged (summation order
-    differs at f32 epsilon)."""
+    not FLOPs, bounded perms/s; here the broadcast terms are pure
+    elementwise ops that XLA fuses into the reduction (4.5x on CPU; no
+    materialized intermediate).  The permutation per (window, chunk,
+    lane) is IDENTICAL to the argsort formulation, so the estimator and
+    its stream-pinning are unchanged (summation order differs at f32
+    epsilon).
+
+    Layout: the chunk axis is kept LAST ([B, m, m, K]) so the large
+    (lane-multiple) axis lands on the TPU's 128-lane dimension; with
+    m ~ 21 innermost, lane utilization would be ~16%.  CPU-neutral
+    (see ``_perm_scores_mlast`` kept for the hardware A/B in bench-mc).
+    """
     m = distf.shape[-1]
     x = jax.vmap(
         lambda k: jax.random.uniform(k, (chunk, m), dtype=jnp.float32)
     )(keys)
-    xi = x[..., :, None]
-    xl = x[..., None, :]
-    tie = jnp.arange(m)[:, None] > jnp.arange(m)[None, :]
-    cmp = (xi > xl) | ((xi == xl) & tie)
-    r = jnp.sum(cmp.astype(jnp.int32), axis=-1)        # [B, K, m] ranks
+    xt = jnp.moveaxis(x, -1, -2)                       # [B, m, K]
+    xj = xt[:, :, None, :]
+    xl = xt[:, None, :, :]
+    tie = (jnp.arange(m)[:, None] > jnp.arange(m)[None, :])[None, :, :, None]
+    cmp = (xj > xl) | ((xj == xl) & tie)
+    r = jnp.sum(cmp.astype(jnp.int32), axis=2)         # [B, m, K] ranks
 
     u = (r < asize).astype(jnp.float32)
     # per-rank chain weight (chain_weights semantics, arithmetic form —
@@ -108,10 +115,39 @@ def _perm_scores(
     wb = 1.0 / (bsize * bsize * (bsize - 1)) if bsize > 1 else 0.0
     wj = wa * (r < asize - 1) + wb * ((r >= asize) & (r < m - 1))
 
+    adj = (r[:, None, :, :] == r[:, :, None, :] + 1).astype(jnp.float32)
+    coeff = (u[:, :, None, :] * (1.0 - u[:, None, :, :])) / (asize * bsize) \
+        - (asize + bsize) * wj[:, :, None, :] * adj
+    return jnp.sum(distf[..., None] * coeff, axis=(1, 2))   # [B, K]
+
+
+def _perm_scores_mlast(
+    distf: jnp.ndarray,
+    keys: jax.Array,
+    asize: int,
+    bsize: int,
+    chunk: int,
+) -> jnp.ndarray:
+    """Chunk-axis-second layout variant ([B, K, m, m] broadcasts) —
+    identical permutations and estimator; kept ONLY for the measured
+    layout A/B on hardware (tools/bench_mc.py)."""
+    m = distf.shape[-1]
+    x = jax.vmap(
+        lambda k: jax.random.uniform(k, (chunk, m), dtype=jnp.float32)
+    )(keys)
+    xi = x[..., :, None]
+    xl = x[..., None, :]
+    tie = jnp.arange(m)[:, None] > jnp.arange(m)[None, :]
+    cmp = (xi > xl) | ((xi == xl) & tie)
+    r = jnp.sum(cmp.astype(jnp.int32), axis=-1)
+    u = (r < asize).astype(jnp.float32)
+    wa = 1.0 / (asize * asize * (asize - 1)) if asize > 1 else 0.0
+    wb = 1.0 / (bsize * bsize * (bsize - 1)) if bsize > 1 else 0.0
+    wj = wa * (r < asize - 1) + wb * ((r >= asize) & (r < m - 1))
     adj = (r[..., None, :] == r[..., :, None] + 1).astype(jnp.float32)
     coeff = (u[..., :, None] * (1.0 - u[..., None, :])) / (asize * bsize) \
         - (asize + bsize) * wj[..., :, None] * adj
-    return jnp.sum(distf[:, None] * coeff, axis=(-1, -2))   # [B, K]
+    return jnp.sum(distf[:, None] * coeff, axis=(-1, -2))
 
 
 def _fold_chunk(keys: jax.Array, k) -> jax.Array:

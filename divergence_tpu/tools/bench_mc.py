@@ -55,6 +55,13 @@ def run_mc_bench(
         )
         return jnp.sum(s)
 
+    @jax.jit
+    def xla_mlast_chunk(k):
+        s = kperm._perm_scores_mlast(
+            distf, kperm._fold_chunk(keys, k), asize, bsize, chunk
+        )
+        return jnp.sum(s)
+
     def make_pallas():
         from divergence_tpu.kernels.pallas.perm_pallas import (
             perm_scores_pallas,
@@ -76,6 +83,8 @@ def run_mc_bench(
         try:
             if name == "xla":
                 fn, arg0, nperm = xla_chunk, jnp.int32(0), chunk
+            elif name == "xla_mlast":
+                fn, arg0, nperm = xla_mlast_chunk, jnp.int32(0), chunk
             else:
                 fn, arg0, nperm = make_pallas(), jnp.int32(1), pallas_chunk
             jax.device_get(fn(arg0))                  # compile + warm
