@@ -178,11 +178,14 @@ def main() -> None:
         file=sys.stderr,
     )
 
-    # --- TPU engine: warmup (compile) + timed run ---
+    # --- TPU engine: warmup (compile) + timed runs (best of 3: executed
+    # binary quality varies run to run on the remote-compile tunnel) ---
     run_fet(pair, region, cfg)
-    t0 = time.perf_counter()
-    scores, stddev = run_fet(pair, region, cfg)
-    tpu_s = time.perf_counter() - t0
+    tpu_s = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        scores, stddev = run_fet(pair, region, cfg)
+        tpu_s = min(tpu_s, time.perf_counter() - t0)
     tpu_rate = n_tests / tpu_s
 
     fet_flops = _fet_flops(
@@ -256,10 +259,12 @@ def main() -> None:
     cpair = SnpPair(positions=cpos, avals=camat, bvals=cbmat)
     css_cfg = CssConfig(precision="fast")
     run_css(cpair, 500_000, css_cfg)
-    csum = RunSummary()
-    t0 = time.perf_counter()
-    cs, cp = run_css(cpair, 500_000, css_cfg, summary=csum)
-    css_s = time.perf_counter() - t0
+    css_s = float("inf")
+    for _ in range(2):
+        csum = RunSummary()
+        t0 = time.perf_counter()
+        cs, cp = run_css(cpair, 500_000, css_cfg, summary=csum)
+        css_s = min(css_s, time.perf_counter() - t0)
     ncw = int(np.count_nonzero(cs))
     mc = csum.counters.get("mc_permutations", 0)
 
