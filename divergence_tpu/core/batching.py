@@ -43,11 +43,16 @@ def bucketize(
     slot: np.ndarray,
     min_pad: int = 32,
     max_batch: int | None = None,
+    max_elems: int | None = 1 << 21,
 ) -> list[Bucket]:
     """Group valid windows (npos > 0) by padded SNP count.
 
     ``max_batch`` optionally splits a bucket into device-friendly batches so
     a huge chromosome streams through HBM instead of materializing at once.
+    ``max_elems`` bounds batch_size * padded_npos (window-rows per batch),
+    so dense chromosomes (thousands of SNPs per window) scale the batch
+    down instead of materializing multi-GB [B, P, m] gathers: at the
+    default 2M rows a stickleback bucket stays under ~350 MB f64.
     """
     valid = np.nonzero(npos > 0)[0]
     if len(valid) == 0:
@@ -56,11 +61,12 @@ def bucketize(
     buckets: list[Bucket] = []
     for pad in np.unique(pads):
         ids = valid[pads == pad]
+        cap = max_batch if max_batch is not None else len(ids)
+        if max_elems is not None:
+            cap = min(cap, max(8, int(max_elems) // int(pad)))
         chunks = [ids]
-        if max_batch is not None and len(ids) > max_batch:
-            chunks = [
-                ids[i : i + max_batch] for i in range(0, len(ids), max_batch)
-            ]
+        if len(ids) > cap:
+            chunks = [ids[i : i + cap] for i in range(0, len(ids), cap)]
         for chunk in chunks:
             buckets.append(
                 Bucket(
