@@ -144,6 +144,22 @@ def test_bucketize_covers_all_valid_windows():
         assert (mask.sum(1) == npos[b.window_ids]).all()
 
 
+def test_bucketize_element_budget_splits_dense_buckets():
+    """batch x padded_npos stays under max_elems for dense windows, and
+    the split still covers every window exactly once."""
+    rng = np.random.default_rng(9)
+    n = 600
+    lo = rng.integers(0, 10_000, n)
+    npos = rng.integers(1500, 2500, n)   # pad -> 2048: dense
+    slot = np.arange(n)
+    buckets = bucketize(lo, npos, slot, max_batch=4096, max_elems=1 << 18)
+    assert len(buckets) > 1
+    seen = np.concatenate([b.window_ids for b in buckets])
+    assert sorted(seen) == list(range(n))
+    for b in buckets:
+        assert len(b.window_ids) * b.padded_npos <= (1 << 18)
+
+
 def test_num_windows_threaded_quirk():
     # threadcss.c:60 computes regend/wstep - 3 for the default geometry;
     # our definition agrees whenever wstep divides regend
