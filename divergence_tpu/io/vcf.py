@@ -40,7 +40,16 @@ def vcf_to_gtrack(
     reference tools/VCFConvert.py:55-68).
     """
     population = list(population)
-    with open(vcf_path) as fh, open(out_path, "w") as out:
+    # .vcf.gz is the common interchange format; the reference converter
+    # (tools/VCFConvert.py) reads plain text only — transparent gzip is
+    # a documented extension
+    if str(vcf_path).endswith(".gz"):
+        import gzip
+
+        opener = gzip.open(vcf_path, "rt")
+    else:
+        opener = open(vcf_path)
+    with opener as fh, open(out_path, "w") as out:
         out.write(gtrack_points_header(genome))
         found = _convert_stream(fh, population, out)
     return found

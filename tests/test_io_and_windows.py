@@ -43,6 +43,21 @@ def test_vcf_roundtrip(tmp_path):
     np.testing.assert_array_equal(t.positions_unique(), [100, 250])
 
 
+def test_vcf_gzip_input(tmp_path):
+    """.vcf.gz converts identically to the plain-text file."""
+    import gzip
+
+    plain = tmp_path / "in.vcf"
+    plain.write_text(VCF_SAMPLE)
+    gz = tmp_path / "in.vcf.gz"
+    with gzip.open(gz, "wt") as f:
+        f.write(VCF_SAMPLE)
+    out1, out2 = tmp_path / "p.gtrack", tmp_path / "g.gtrack"
+    vcf_to_gtrack(plain, ["ind1", "ind2"], out1, "t")
+    vcf_to_gtrack(gz, ["ind1", "ind2"], out2, "t")
+    assert out1.read_text() == out2.read_text()
+
+
 def test_gtrack_population_size_inference(tmp_path):
     p = tmp_path / "t.gtrack"
     rows = ["chr1\t%d\t%d\tind%d" % (pos, v, i)
