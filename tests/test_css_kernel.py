@@ -187,6 +187,54 @@ def test_permutation_estimator_extremes(rng):
     assert (res_lo.nscores == 10).all()
 
 
+def test_perm_scores_exact_vs_numpy_reconstruction(rng):
+    """_perm_scores must equal an explicit numpy CSS of the SAME
+    permutations (reconstructed by stable argsort of the identical
+    uniforms) — pins the rank encoding, tie-break, chain weights and
+    group indicator, including degenerate group sizes."""
+    import jax.numpy as jnp
+
+    for asize, bsize in ((11, 10), (5, 4), (1, 6), (2, 2)):
+        m = asize + bsize
+        B, K = 4, 16
+        d = rng.random((B, m, m)) * 2
+        d = d + d.transpose(0, 2, 1)
+        for i in range(B):
+            np.fill_diagonal(d[i], 0.0)
+        keys = kperm.window_keys(
+            jax.random.PRNGKey(7),
+            jnp.full(B, 3, dtype=jnp.int64),
+            jnp.arange(B, dtype=jnp.int64),
+        )
+        got = np.asarray(
+            kperm._perm_scores(
+                jnp.asarray(d, dtype=jnp.float32), keys, asize, bsize, K
+            )
+        )
+        x = np.asarray(
+            jax.vmap(
+                lambda k: jax.random.uniform(k, (K, m), dtype=jnp.float32)
+            )(keys)
+        )
+        w = np.zeros(m - 1)
+        if asize > 1:
+            w[: asize - 1] = 1.0 / (asize * asize * (asize - 1))
+        if bsize > 1:
+            w[asize:] = 1.0 / (bsize * bsize * (bsize - 1))
+        for b in range(B):
+            for k in range(K):
+                p = np.argsort(x[b, k], kind="stable")
+                D = d[b]
+                between = D[np.ix_(p[:asize], p[asize:])].mean()
+                chain = sum(
+                    w[i] * D[p[i], p[i + 1]] for i in range(m - 1)
+                )
+                want = between - m * chain
+                assert got[b, k] == pytest.approx(want, abs=2e-4), (
+                    asize, bsize, b, k,
+                )
+
+
 def test_permutation_pvalues_statistical(rng):
     # p-values must agree with the oracle MC within Monte-Carlo error
     m, asize, bsize = 9, 5, 4
