@@ -59,6 +59,11 @@ def _fet_dispatch(
     avals_d, bvals_d = pair.device_values()
     maxs = kfet.support_size(pair.asize, pair.bsize)
     nmax = pair.asize + pair.bsize + 2
+    # per-SNP exact tests ONCE per chromosome; windows overlap
+    # wsize/wstep-fold and gather from this array (kfet.fet_snp_logs)
+    snp_logs = kfet.fet_snp_logs(
+        avals_d, bvals_d, maxs, nmax, fast=cfg.precision == "fast"
+    )
 
     in_slots = plan.slot < nslots
     buckets = bucketize(
@@ -89,19 +94,15 @@ def _fet_dispatch(
         if sharding is not None:
             lo_d = jax.device_put(lo_d, sharding)
             npos_d = jax.device_put(npos_d, sharding)
-        av, bv = _gather_windows(
-            avals_d, bvals_d, lo_d, npos_d, bucket.padded_npos
-        )
 
-        s, d = kfet.fet_window_batch(
-            av,
-            bv,
+        s, d = kfet.fet_aggregate_windows(
+            snp_logs,
+            lo_d,
             npos_d,
             jnp.float64(cfg.percentile),
             jax.random.fold_in(key, bi),
             nsamples=cfg.bootstrap_samples,
-            maxs=maxs,
-            nmax=nmax,
+            P=bucket.padded_npos,
             fast=cfg.precision == "fast",
         )
         pending.append((bucket.slot, Bw, s, d))

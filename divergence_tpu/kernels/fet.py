@@ -170,6 +170,47 @@ def _sorted_pick(sorted_asc: jnp.ndarray, npos: jnp.ndarray, rank: jnp.ndarray):
     return jnp.take_along_axis(sorted_asc, pos, axis=-1)
 
 
+@functools.partial(jax.jit, static_argnames=("maxs", "nmax", "fast"))
+def fet_snp_logs(
+    avals: jnp.ndarray,       # [N, asize] genotype codes, whole chromosome
+    bvals: jnp.ndarray,       # [N, bsize]
+    maxs: int,
+    nmax: int,
+    fast: bool = False,
+) -> jnp.ndarray:
+    """-log10 two-tailed FET p for EVERY SNP of a chromosome, once.
+
+    Windows overlap wsize/wstep-fold (5x at reference defaults,
+    css.c:117-135), so evaluating the exact test per (window, SNP) — as
+    both the reference (cFisher.c:181) and the former bucket kernel do —
+    recomputes each SNP's p up to 5x.  The engine computes this [N]
+    array once per chromosome and windows gather from it
+    (:func:`fet_aggregate_windows`): ~5x less support-scan compute and a
+    [B, P] gather instead of [B, P, asize+bsize] genotype gathers."""
+    dtype = jnp.float32 if fast else jnp.float64
+    tables = count_tables(avals, bvals)
+    return -jnp.log10(fet_two_tailed(tables, maxs, nmax, dtype=dtype))
+
+
+@functools.partial(jax.jit, static_argnames=("nsamples", "P", "fast"))
+def fet_aggregate_windows(
+    snp_logs: jnp.ndarray,    # [N] per-SNP -log10 p (fet_snp_logs)
+    lo: jnp.ndarray,          # [B] first SNP index per window
+    npos: jnp.ndarray,        # [B] true SNP count per window
+    perc: jnp.ndarray,        # scalar
+    key: jax.Array,
+    nsamples: int,
+    P: int,                   # static padded SNP count
+    fast: bool = False,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Window percentile + bootstrap stddev over precomputed SNP logs."""
+    dtype = jnp.float32 if fast else jnp.float64
+    offs = jnp.arange(P, dtype=lo.dtype)[None, :]
+    idx = jnp.where(offs < npos[:, None], lo[:, None] + offs, 0)
+    logs = jnp.take(snp_logs, idx, axis=0)       # [B, P]
+    return _aggregate(logs, npos, perc, key, nsamples, dtype)
+
+
 @functools.partial(
     jax.jit, static_argnames=("nsamples", "maxs", "nmax", "fast")
 )
@@ -186,15 +227,32 @@ def fet_window_batch(
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """FET scores + bootstrap stddev for one padded bucket of windows.
 
+    Self-contained (genotypes in, scores out) — the form the sharded
+    divergence step and the compile-check entry use.  The engine's
+    production path splits this into :func:`fet_snp_logs` (per
+    chromosome) + :func:`fet_aggregate_windows` (per bucket) to exploit
+    window overlap; both paths share :func:`_aggregate` and produce
+    bit-identical results for the same inputs and key.
+
     Padding rows (snp index >= npos) never influence the result: their
     scores are pinned to -inf, which sorts to the front of the ascending
     order, and all rank arithmetic offsets past them."""
     dtype = jnp.float32 if fast else jnp.float64
-    B, P = avals.shape[0], avals.shape[1]
     tables = count_tables(avals, bvals)          # [B, P, 4]
     pvals = fet_two_tailed(tables, maxs, nmax, dtype=dtype)   # [B, P]
     logs = -jnp.log10(pvals)
+    return _aggregate(logs, npos, perc, key, nsamples, dtype)
 
+
+def _aggregate(
+    logs: jnp.ndarray,        # [B, P] per-(window, SNP) -log10 p
+    npos: jnp.ndarray,        # [B]
+    perc: jnp.ndarray,
+    key: jax.Array,
+    nsamples: int,
+    dtype,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    B, P = logs.shape
     snp_mask = jnp.arange(P)[None, :] < npos[:, None]
     neg = dtype(-jnp.inf)
     logs_sorted = jnp.sort(jnp.where(snp_mask, logs, neg), axis=-1)
