@@ -54,6 +54,14 @@ def _css_phase1_dispatch(
         max_batch=4096,
     )
 
+    # stickleback path: chromosome-wide mismatch prefix sums ONCE —
+    # every window's dissimilarity is one [m, m] difference (windows
+    # overlap wsize/wstep-fold; kcss.dissimilarity_prefix)
+    prefix = None
+    if not cfg.drosophila:
+        vals_d = jnp.concatenate([avals_d, bvals_d], axis=-1)
+        prefix = kcss.dissimilarity_prefix(vals_d)
+
     # phase 1: scores + distance matrices for every valid window;
     # dispatch all buckets asynchronously, materialize with one host sync
     pending = []
@@ -67,24 +75,40 @@ def _css_phase1_dispatch(
         if sharding is not None:
             lo_d = jax.device_put(lo_d, sharding)
             npos_d = jax.device_put(npos_d, sharding)
-        av, bv = _gather_windows(
-            avals_d, bvals_d, lo_d, npos_d, bucket.padded_npos
-        )
 
-        s, dist, valid = kcss.css_window_batch(
-            av,
-            bv,
-            npos_d,
-            jax.random.fold_in(key, 1000 + bi),
-            asize=asize,
-            bsize=bsize,
-            drosophila=cfg.drosophila,
-            mds=int(cfg.mds),
-            smacof_iters=cfg.smacof.max_iters,
-            smacof_inits=cfg.smacof.n_init,
-            smacof_eps=cfg.smacof.epsilon,
-            fast=cfg.precision == "fast",
-        )
+        bkey = jax.random.fold_in(key, 1000 + bi)
+        if cfg.drosophila:
+            av, bv = _gather_windows(
+                avals_d, bvals_d, lo_d, npos_d, bucket.padded_npos
+            )
+            s, dist, valid = kcss.css_window_batch(
+                av,
+                bv,
+                npos_d,
+                bkey,
+                asize=asize,
+                bsize=bsize,
+                drosophila=True,
+                mds=int(cfg.mds),
+                smacof_iters=cfg.smacof.max_iters,
+                smacof_inits=cfg.smacof.n_init,
+                smacof_eps=cfg.smacof.epsilon,
+                fast=cfg.precision == "fast",
+            )
+        else:
+            s, dist, valid = kcss.css_window_batch_prefix(
+                prefix,
+                lo_d,
+                npos_d,
+                bkey,
+                asize=asize,
+                bsize=bsize,
+                mds=int(cfg.mds),
+                smacof_iters=cfg.smacof.max_iters,
+                smacof_inits=cfg.smacof.n_init,
+                smacof_eps=cfg.smacof.epsilon,
+                fast=cfg.precision == "fast",
+            )
         pending.append((bucket, s, dist, valid))
     return nslots, plan.num_windows, pending
 

@@ -51,6 +51,43 @@ def dissimilarity_counts(
     return d.astype(jnp.float64)
 
 
+def dissimilarity_prefix(vals: jnp.ndarray) -> jnp.ndarray:
+    """Chromosome-wide prefix sums of the per-SNP mismatch contributions.
+
+    ``vals``: [N, m] genotype codes.  Returns [N+1, m, m] with
+    ``prefix[n] = sum_{k<n} M_k`` where ``M_k[i,j] = 1`` iff individuals
+    i and j are opposite homozygotes at SNP k (the css.c:277-327
+    predicate).  A window's dissimilarity is then ONE difference
+    ``prefix[lo+npos] - prefix[lo]`` — windows overlap wsize/wstep-fold,
+    so this replaces the per-window [P, m] matmul contraction with
+    O(N m^2) total work and removes the [B, P, m] genotype gathers
+    entirely.
+
+    Exactness: the entries are integer counts <= N; the prefix is f32
+    (exact to 2^24) below that and f64 above, so window differences are
+    bit-exact counts either way."""
+    N, m = vals.shape
+    maj = vals == 3
+    mnr = vals == -3
+    mk = (maj[:, :, None] & mnr[:, None, :]) | (
+        mnr[:, :, None] & maj[:, None, :]
+    )
+    acc = jnp.float32 if N < (1 << 24) else jnp.float64
+    pref = jnp.cumsum(mk.astype(acc), axis=0)
+    return jnp.concatenate([jnp.zeros((1, m, m), dtype=acc), pref])
+
+
+def dissimilarity_from_prefix(
+    prefix: jnp.ndarray,    # [N+1, m, m]
+    lo: jnp.ndarray,        # [B]
+    npos: jnp.ndarray,      # [B]
+) -> jnp.ndarray:
+    """Per-window dissimilarity counts from the chromosome prefix."""
+    hi = jnp.take(prefix, lo + npos, axis=0)
+    lo_v = jnp.take(prefix, lo, axis=0)
+    return (hi - lo_v).astype(jnp.float64)
+
+
 def dissimilarity_freq(
     avals: jnp.ndarray,
     bvals: jnp.ndarray,
@@ -263,8 +300,51 @@ def css_window_batch(
         vals = jnp.concatenate([avals, bvals], axis=-1)
         dis = dissimilarity_counts(vals, snp_mask)
         a_sz, b_sz = asize, bsize
-    dis = dis.astype(dtype)
+    return _score_pipeline(
+        dis.astype(dtype), npos, key, a_sz, b_sz, mds,
+        smacof_iters, smacof_inits, smacof_eps,
+    )
 
+
+@functools.partial(
+    jax.jit, static_argnames=("asize", "bsize", "mds", "smacof_iters",
+                              "smacof_inits", "fast")
+)
+def css_window_batch_prefix(
+    prefix: jnp.ndarray,   # [N+1, m, m] dissimilarity_prefix
+    lo: jnp.ndarray,       # [B]
+    npos: jnp.ndarray,     # [B]
+    key: jax.Array,
+    asize: int,
+    bsize: int,
+    mds: int = 0,
+    smacof_iters: int = 300,
+    smacof_inits: int = 4,
+    smacof_eps: float = 1e-6,
+    fast: bool = False,
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """CSS scores from chromosome prefix sums (the engine's production
+    stickleback path — see :func:`dissimilarity_prefix`).  Bit-identical
+    counts, hence bit-identical scores, to :func:`css_window_batch`."""
+    dtype = jnp.float32 if fast else jnp.float64
+    dis = dissimilarity_from_prefix(prefix, lo, npos).astype(dtype)
+    return _score_pipeline(
+        dis, npos, key, asize, bsize, mds,
+        smacof_iters, smacof_inits, smacof_eps,
+    )
+
+
+def _score_pipeline(
+    dis: jnp.ndarray,      # [B, m, m] window dissimilarities (dtype set)
+    npos: jnp.ndarray,
+    key: jax.Array,
+    a_sz: int,
+    b_sz: int,
+    mds: int,
+    smacof_iters: int,
+    smacof_inits: int,
+    smacof_eps: float,
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     filled, keep = fill_averages(dis)
 
     if mds == 0:
