@@ -296,6 +296,23 @@ def main() -> None:
             "css_mfu": round(css_mfu, 6),
         }
     )
+
+    # Pearson-III approx mode: the production estimator at scale
+    approx_cfg = CssConfig(precision="fast", p_mode="approx")
+    run_css(cpair, 500_000, approx_cfg)
+    t0 = time.perf_counter()
+    ca, _ = run_css(cpair, 500_000, approx_cfg)
+    approx_s = time.perf_counter() - t0
+    print(
+        f"[bench] css approx: {approx_s:.2f}s "
+        f"({int(np.count_nonzero(ca)) / approx_s:,.0f} win/s, "
+        f"{css_s / approx_s:.0f}x over exact MC)",
+        file=sys.stderr,
+    )
+    extras["css_approx_windows_per_sec"] = round(
+        int(np.count_nonzero(ca)) / approx_s, 1
+    )
+    extras["css_approx_speedup_vs_mc"] = round(css_s / approx_s, 1)
     if ref_c:
         perm_rate = ref_c.get("css_thread", {}).get("approx_perms_per_s")
         if perm_rate:

@@ -252,6 +252,48 @@ def _cmd_report(args) -> None:
     print(f"wrote {args.out}")
 
 
+def _cmd_merge_tracks(args) -> None:
+    """Merge per-host score-track shards into one genome-wide track.
+
+    The host-side half of the multi-host fan-out (each host runs
+    ``--num-hosts N --host-id k`` over a disjoint chromosome set and
+    writes its shard; SURVEY.md §5 distributed backend: per-host file
+    writes + host-side concat instead of an on-device gather)."""
+    from divergence_tpu.io.gtrack import read_score_track
+
+    seen: dict[str, str] = {}
+    rows: list[tuple[str, int, str]] = []
+    header = None
+    for path in args.inputs:
+        with open(path) as fh:
+            first = fh.readline().rstrip("\n")
+        if first.startswith("#"):
+            if header is None:
+                header = first
+            elif first != header:
+                raise SystemExit(
+                    f"{path}: column header {first!r} differs from "
+                    f"{header!r} — refusing to merge mixed track types"
+                )
+        seqids, starts, c2, c3 = read_score_track(path)
+        for s in set(seqids):
+            if s in seen:
+                raise SystemExit(
+                    f"chromosome {s} appears in both {seen[s]} and {path}"
+                )
+            seen[s] = str(path)
+        for s, st, a, b in zip(seqids, starts, c2, c3):
+            rows.append(
+                (s, int(st), f"{s}\t{st}\t{float(a)!r}\t{float(b)!r}\n")
+            )
+    rows.sort(key=lambda r: (r[0], r[1]))
+    with open(args.out, "w") as out:
+        out.write((header or "#seqid\tstart\tscore\taux") + "\n")
+        for _, _, line in rows:
+            out.write(line)
+    print(f"merged {len(args.inputs)} shards, {len(rows)} rows -> {args.out}")
+
+
 def _cmd_doctor(args) -> None:
     from divergence_tpu.tools.doctor import main as doctor_main
 
@@ -473,6 +515,14 @@ def build_parser() -> argparse.ArgumentParser:
     )
     p.add_argument("--timeout", type=int, default=60)
     p.set_defaults(fn=_cmd_doctor)
+
+    p = sub.add_parser(
+        "merge-tracks",
+        help="merge per-host score-track shards (disjoint chromosomes)",
+    )
+    p.add_argument("--inputs", nargs="+", required=True)
+    p.add_argument("--out", required=True)
+    p.set_defaults(fn=_cmd_merge_tracks)
 
     p = sub.add_parser("filter-fet", help="FET region calling (Burke limit)")
     p.add_argument("--scores", required=True)

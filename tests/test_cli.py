@@ -356,6 +356,43 @@ def test_cli_multi_chromosome_genome(tmp_path):
     ]
     assert {r[0] for r in rows} == {"chr1", "chr2"}
 
+    # multi-host fan-out: each host runs its chromosome partition, then
+    # merge-tracks reassembles the genome-wide track bit-for-bit
+    for host in (0, 1):
+        cli_main(
+            [
+                "run-fet",
+                "--pop-a", str(tmp_path / "a.gtrack"),
+                "--pop-b", str(tmp_path / "b.gtrack"),
+                "--out", str(tmp_path / f"fet_h{host}.track"),
+                "--chrom-sizes", str(tmp_path / "chrom.sizes"),
+                "--num-hosts", "2",
+                "--host-id", str(host),
+            ]
+        )
+    cli_main(
+        [
+            "merge-tracks",
+            "--inputs",
+            str(tmp_path / "fet_h0.track"),
+            str(tmp_path / "fet_h1.track"),
+            "--out", str(tmp_path / "fet_merged.track"),
+        ]
+    )
+    merged = (tmp_path / "fet_merged.track").read_text()
+    single = (tmp_path / "fet.track").read_text()
+    assert sorted(merged.splitlines()[1:]) == sorted(single.splitlines()[1:])
+    with pytest.raises(SystemExit, match="appears in both"):
+        cli_main(
+            [
+                "merge-tracks",
+                "--inputs",
+                str(tmp_path / "fet_h0.track"),
+                str(tmp_path / "fet_h0.track"),
+                "--out", str(tmp_path / "bad.track"),
+            ]
+        )
+
     # the per-chromosome loop (--resume) and the genome-wide engine must
     # write identical tracks — RNG streams are (seed, chrom, slot)-pinned
     # so the CSS MC p-values agree bit-for-bit across the two paths
