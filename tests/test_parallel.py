@@ -286,6 +286,30 @@ def test_css_engine_sharded_mc_path(panel):
     np.testing.assert_array_equal(p0, p1)
 
 
+def test_approx_significance_sharded_matches_unsharded():
+    """Pearson-III p-values are placement-invariant too (same per-window
+    moment streams)."""
+    from divergence_tpu.kernels import perm as kperm
+
+    B, m, asize, bsize = 16, 9, 5, 4
+    dist = _null_dists(41, B, m)
+    scores = np.quantile(dist.reshape(B, -1), 0.9, axis=-1)
+    key = jax.random.PRNGKey(6)
+    slots = np.arange(B, dtype=np.int64)
+    chroms = np.full(B, 5, dtype=np.int64)
+    r0 = kperm.approx_significance(
+        dist, scores, asize, bsize, key, chunk=512,
+        chroms=chroms, slots=slots,
+    )
+    sh = window_sharding(make_mesh(8))
+    r8 = kperm.approx_significance(
+        dist, scores, asize, bsize, key, chunk=512,
+        chroms=chroms, slots=slots, sharding=sh,
+    )
+    np.testing.assert_allclose(r0.pvals, r8.pvals, rtol=1e-9)
+    np.testing.assert_array_equal(r0.nscores, r8.nscores)
+
+
 def test_two_process_distributed_smoke(tmp_path):
     """2-process jax.distributed over loopback DCN: deterministic
     chromosome partition, per-host engine runs, shard merge == the
