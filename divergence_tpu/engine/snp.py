@@ -26,12 +26,33 @@ class SnpPair:
     def device_values(self):
         """(avals, bvals) as device arrays, uploaded once and cached —
         both engines and repeated runs reuse the same HBM copy (host→device
-        transfers dominate small runs)."""
+        transfers dominate small runs).
+
+        The SNP axis is padded to the next power of two (fill = -10000,
+        the missing code, which counts nothing in any kernel): the
+        chromosome-level kernels (``fet_snp_logs``,
+        ``dissimilarity_prefix``) would otherwise compile once per
+        distinct chromosome length — minutes each on remote-compile
+        backends — instead of once per power of two.  Window plans never
+        index past the true ``npos``, so the pad rows are unreachable
+        from any gather."""
         cached = getattr(self, "_device_vals", None)
         if cached is None:
             import jax.numpy as jnp
 
-            cached = (jnp.asarray(self.avals), jnp.asarray(self.bvals))
+            n = len(self.positions)
+            npad = 8
+            while npad < n:
+                npad *= 2
+            pad = npad - n
+
+            def up(mat):
+                if pad:
+                    mat = np.pad(mat, ((0, pad), (0, 0)),
+                                 constant_values=-10000.0)
+                return jnp.asarray(mat)
+
+            cached = (up(self.avals), up(self.bvals))
             object.__setattr__(self, "_device_vals", cached)
         return cached
 
