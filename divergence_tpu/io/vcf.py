@@ -40,10 +40,30 @@ def vcf_to_gtrack(
     reference tools/VCFConvert.py:55-68).
     """
     population = list(population)
+    is_gz = str(vcf_path).endswith(".gz")
+
+    if not is_gz:
+        # threaded C++ converter (native/vcf_convert.cpp) — identical
+        # output bytes to the Python path below, which defines the
+        # semantics (tests/test_native.py pins the equivalence)
+        try:
+            from divergence_tpu.native import vcf_convert_native
+
+            found = vcf_convert_native(
+                vcf_path, out_path, gtrack_points_header(genome), population
+            )
+            if found is not None:
+                for name in population:
+                    if name not in found:
+                        print(f"warning: {name} not found in VCF header")
+                return found
+        except ImportError:
+            pass
+
     # .vcf.gz is the common interchange format; the reference converter
     # (tools/VCFConvert.py) reads plain text only — transparent gzip is
     # a documented extension
-    if str(vcf_path).endswith(".gz"):
+    if is_gz:
         import gzip
 
         opener = gzip.open(vcf_path, "rt")

@@ -19,6 +19,7 @@ import numpy as np
 
 _HERE = Path(__file__).parent
 _SRC = _HERE / "gtrack_parser.cpp"
+_SRC_VCF = _HERE / "vcf_convert.cpp"
 _LIB = _HERE / "_gtrack_parser.so"
 _lock = threading.Lock()
 _lib: ctypes.CDLL | None = None
@@ -51,6 +52,7 @@ def _build() -> bool:
                 "-fPIC",
                 "-pthread",
                 str(_SRC),
+                str(_SRC_VCF),
                 "-o",
                 str(_LIB),
             ],
@@ -73,9 +75,8 @@ def _load() -> ctypes.CDLL | None:
         if os.environ.get("DIVERGENCE_TPU_NO_NATIVE"):
             _build_failed = True
             return None
-        needs_build = (
-            not _LIB.exists()
-            or _LIB.stat().st_mtime < _SRC.stat().st_mtime
+        needs_build = not _LIB.exists() or _LIB.stat().st_mtime < max(
+            _SRC.stat().st_mtime, _SRC_VCF.stat().st_mtime
         )
         if needs_build and not _build():
             _build_failed = True
@@ -93,6 +94,16 @@ def _load() -> ctypes.CDLL | None:
         lib.gtrack_parse.restype = ctypes.c_int
         lib.gtrack_free.argtypes = [ctypes.POINTER(_GtrackResult)]
         lib.gtrack_free.restype = None
+        lib.vcf_convert.argtypes = [
+            ctypes.c_char_p,
+            ctypes.c_char_p,
+            ctypes.c_char_p,
+            ctypes.c_char_p,
+            ctypes.c_char_p,
+            ctypes.c_longlong,
+            ctypes.c_int,
+        ]
+        lib.vcf_convert.restype = ctypes.c_longlong
         _lib = lib
         return lib
 
@@ -147,6 +158,39 @@ def parse_gtrack_native(
     arr = np.asarray(names, dtype=object)
     seq = arr[seq_idx] if len(seq_idx) else np.zeros(0, dtype=object)
     return seq, pos, vals
+
+
+def vcf_convert_native(
+    vcf_path: str | Path,
+    out_path: str | Path,
+    gtrack_header: str,
+    population: list[str],
+    n_threads: int = 0,
+) -> list[str] | None:
+    """Threaded C++ VCF -> GTrack conversion (vcf_convert.cpp).
+
+    Returns the population names found in the header, or None when the
+    native path is unavailable or the conversion failed (callers fall
+    back to the pure-Python converter, which defines the semantics)."""
+    lib = _load()
+    if lib is None:
+        return None
+    found = ctypes.create_string_buffer(
+        sum(len(n) for n in population) + len(population) + 16
+    )
+    rows = lib.vcf_convert(
+        str(vcf_path).encode(),
+        str(out_path).encode(),
+        gtrack_header.encode(),
+        ",".join(population).encode(),
+        found,
+        ctypes.c_longlong(len(found)),
+        int(n_threads),
+    )
+    if rows < 0:
+        return None
+    text = found.value.decode()
+    return [n for n in text.split(",") if n]
 
 
 def native_available() -> bool:

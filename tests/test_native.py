@@ -81,3 +81,66 @@ def test_native_negative_and_float_values(tmp_path):
     seq, pos, vals = parsed
     np.testing.assert_array_equal(pos, [100, 100, 200, 200])
     np.testing.assert_allclose(vals, [-10000.0, 0.25, -3.0, 1e-3])
+
+
+def test_native_vcf_convert_matches_python(tmp_path):
+    """The C++ VCF converter must produce byte-identical output to the
+    Python semantics definition, including the edge cases: phased
+    separators, half-missing, multi-allelic, missing names, and the
+    once-computed GT index."""
+    import io
+
+    from divergence_tpu.io.gtrack import gtrack_points_header
+    from divergence_tpu.io.vcf import _convert_stream
+    from divergence_tpu.native import vcf_convert_native
+
+    names = ["s1", "s2", "s3"]
+    vcf_text = (
+        "##fileformat=VCFv4.2\n"
+        "##contig=<ID=chr1>\n"
+        "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\t"
+        "s1\ts2\ts3\n"
+        "chr1\t100\t.\tA\tT\t50\tPASS\t.\tGT:DP\t0/0:3\t0|1:9\t1/1:2\n"
+        "chr1\t180\t.\tG\tC\t50\tPASS\t.\tGT:DP\t./.:0\t1|0:4\t0|0:7\n"
+        "chr2\t40\t.\tC\tA\t50\tPASS\t.\tGT:DP\t./1:1\t2/1:5\t1/1:6\n"
+        "chr2\t90\t.\tT\tG\t50\tPASS\t.\tGT:DP\t1/1:8\t.|.:0\t0/1:3\n"
+    )
+    vcf = tmp_path / "t.vcf"
+    vcf.write_text(vcf_text)
+
+    # python semantics definition
+    py_out = io.StringIO()
+    py_out.write(gtrack_points_header("g"))
+    with open(vcf) as fh:
+        found_py = _convert_stream(fh, ["s1", "ghost", "s3"], py_out)
+
+    native_out = tmp_path / "native.gtrack"
+    found_nat = vcf_convert_native(
+        vcf, native_out, gtrack_points_header("g"), ["s1", "ghost", "s3"]
+    )
+    assert found_nat is not None, "native converter unavailable"
+    assert found_nat == found_py == ["s1", "s3"]
+    assert native_out.read_text() == py_out.getvalue()
+
+
+def test_native_vcf_convert_via_public_api(tmp_path):
+    """vcf_to_gtrack transparently uses the native converter for plain
+    files and the Python path for .gz — identical outputs."""
+    import gzip
+
+    from divergence_tpu.io import vcf_to_gtrack
+
+    vcf_text = (
+        "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\ta\tb\n"
+        "chrX\t10\t.\tA\tT\t50\tPASS\t.\tGT\t0/0\t1/1\n"
+        "chrX\t20\t.\tA\tT\t50\tPASS\t.\tGT\t0/1\t./.\n"
+    )
+    plain = tmp_path / "x.vcf"
+    plain.write_text(vcf_text)
+    gz = tmp_path / "x.vcf.gz"
+    with gzip.open(gz, "wt") as f:
+        f.write(vcf_text)
+    o1, o2 = tmp_path / "p.gtrack", tmp_path / "z.gtrack"
+    assert vcf_to_gtrack(plain, ["a", "b"], o1, "g") == ["a", "b"]
+    assert vcf_to_gtrack(gz, ["a", "b"], o2, "g") == ["a", "b"]
+    assert o1.read_text() == o2.read_text()
