@@ -82,6 +82,28 @@ def test_approx_monotone_and_bounded(null_batch):
     assert (p_lo > 0.999).all()
 
 
+def test_approx_deep_tail_vs_exact_mc(null_batch):
+    """Tail calibration at p ~ 1e-3: the Pearson-III fit must agree with
+    the exact adaptive MC (threshold reached around 50k permutations)
+    within a factor of ~3 in p — the regime BH-FDR thresholds live in."""
+    asize, bsize = 11, 10
+    key = jax.random.PRNGKey(21)
+    dist = null_batch[:8]
+    obs, _ = _observed_at_quantile(dist, 1e-3, asize, bsize, key)
+    mc = kperm.significance(
+        dist, obs, asize, bsize, threshold=50, runs=500_000,
+        key=jax.random.fold_in(key, 1), chunk=4096,
+    )
+    approx = kperm.approx_significance(
+        dist, obs, asize, bsize, jax.random.fold_in(key, 2),
+        chunk=1024, n_chunks=4,
+    )
+    # per-window agreement within half a decade, median tighter
+    ratio = np.log10(approx.pvals) - np.log10(np.maximum(mc.pvals, 1e-12))
+    assert np.abs(np.median(ratio)) < 0.35, ratio
+    assert (np.abs(ratio) < 0.6).mean() >= 0.75, ratio
+
+
 def test_approx_moment_convergence(null_batch):
     """Doubling the moment sample must leave fitted p-values stable
     (|log10 drift| small) for p >= ~1e-3, and the adaptive doubling must
