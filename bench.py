@@ -54,25 +54,29 @@ def make_chromosome(npos: int, region: int, asize: int, bsize: int, seed: int):
     return positions, draw(asize), draw(bsize)
 
 
-def _fet_flops(n_tests: int, maxs: int, nsamples: int, n_windows: int,
+def _fet_flops(n_snps: int, maxs: int, nsamples: int, n_windows: int,
                avg_npos: float) -> float:
-    """Analytic FLOP model of the FET path (documented, conservative).
+    """Analytic FLOP model of the FET path — models the work the engine
+    ACTUALLY performs (per-SNP tests are computed once per chromosome,
+    kernels/fet.py:fet_snp_logs; windows re-gather, sort, and bootstrap).
 
-    Per SNP test the kernel evaluates the whole hypergeometric support
-    (<= maxs points); each point costs ~12 flop-equivalents (lgamma-sum
-    terms, exp, compare-accumulate; transcendentals counted as 1).  The
-    bootstrap adds nsamples resampled percentile passes per window
-    (~5 ops per resampled element)."""
-    support = n_tests * maxs * 12.0
-    bootstrap = n_windows * nsamples * avg_npos * 5.0
-    return support + bootstrap
+    Per DISTINCT SNP: whole-hypergeometric-support scan (<= maxs
+    points), ~12 flop-equivalents per point (lgamma-sum terms, exp,
+    compare-accumulate; transcendentals counted as 1).  Per window: an
+    ascending sort (~2 P log2 P compare-swaps) and nsamples
+    order-statistic bootstrap replicates (~8 ops each)."""
+    support = n_snps * maxs * 12.0
+    sort = n_windows * avg_npos * np.log2(max(avg_npos, 2.0)) * 2.0
+    bootstrap = n_windows * nsamples * 8.0
+    return support + sort + bootstrap
 
 
 def _css_mc_flops(perms: int, m: int) -> float:
-    """Analytic FLOP model of the permutation-MC chunk: the one-hot
-    permutation matmul Pi@D dominates at 2*m^3 MACs -> 2*m^3 flops per
-    permutation, plus ~6*m^2 elementwise per permutation."""
-    return perms * (2.0 * m**3 + 6.0 * m**2)
+    """Analytic FLOP model of the rank-fused permutation MC
+    (kernels/perm.py:_perm_scores): per permutation, ~10 elementwise
+    flop-equivalents per m^2 cell (pairwise compares + rank reduce +
+    coefficient assembly + the final reduce against D)."""
+    return perms * 10.0 * m**2
 
 
 def _probe_backend(timeout_s: int, attempts: int, wait_s: int) -> bool:
@@ -189,7 +193,7 @@ def main() -> None:
     tpu_rate = n_tests / tpu_s
 
     fet_flops = _fet_flops(
-        n_tests, kfet.support_size(asize, bsize), cfg.bootstrap_samples,
+        npos, kfet.support_size(asize, bsize), cfg.bootstrap_samples,
         n_windows, avg_npos,
     )
     fet_flops_per_s = fet_flops / tpu_s

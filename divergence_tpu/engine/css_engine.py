@@ -26,6 +26,13 @@ from divergence_tpu.utils.summary import RunSummary
 
 _pad_batch = pad_batch
 
+# Memory guardrail for the prefix-sum dissimilarity path: the prefix is
+# [N+1, m, m] on device (plus a same-size cumsum operand).  Above this
+# element budget (~1 GB f32 at the default) dense/huge chromosomes fall
+# back to the per-bucket gather kernel, whose footprint is bounded by
+# the bucket element budget instead.
+PREFIX_MAX_ELEMS = 1 << 28
+
 
 def _css_phase1_dispatch(
     pair: SnpPair,
@@ -56,9 +63,15 @@ def _css_phase1_dispatch(
 
     # stickleback path: chromosome-wide mismatch prefix sums ONCE —
     # every window's dissimilarity is one [m, m] difference (windows
-    # overlap wsize/wstep-fold; kcss.dissimilarity_prefix)
+    # overlap wsize/wstep-fold; kcss.dissimilarity_prefix).  Guarded by
+    # the PREFIX_MAX_ELEMS budget (see above).
     prefix = None
-    if not cfg.drosophila:
+    m_all = asize + bsize
+    npad_dev = int(avals_d.shape[0])
+    if (
+        not cfg.drosophila
+        and (npad_dev + 1) * m_all * m_all <= PREFIX_MAX_ELEMS
+    ):
         vals_d = jnp.concatenate([avals_d, bvals_d], axis=-1)
         prefix = kcss.dissimilarity_prefix(vals_d)
 
@@ -77,7 +90,7 @@ def _css_phase1_dispatch(
             npos_d = jax.device_put(npos_d, sharding)
 
         bkey = jax.random.fold_in(key, 1000 + bi)
-        if cfg.drosophila:
+        if prefix is None:
             av, bv = _gather_windows(
                 avals_d, bvals_d, lo_d, npos_d, bucket.padded_npos
             )
@@ -88,7 +101,7 @@ def _css_phase1_dispatch(
                 bkey,
                 asize=asize,
                 bsize=bsize,
-                drosophila=True,
+                drosophila=cfg.drosophila,
                 mds=int(cfg.mds),
                 smacof_iters=cfg.smacof.max_iters,
                 smacof_inits=cfg.smacof.n_init,

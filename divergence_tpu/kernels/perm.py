@@ -173,13 +173,14 @@ def mc_significance(
     state: tuple | None = None,
     backend: str = "xla",
     seed0: jnp.ndarray | None = None,
-) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Adaptive permutation MC for one window batch, on device.
 
-    Returns (pvals [B] f64, nscores [B] i32, hits [B] i32) with the
-    reference estimator: stop a window at its ``threshold``-th hit
-    (n = that permutation's 1-based index) or at ``runs``;
-    p = (hits+1)/(n+1) (css.c:727-752).
+    Returns (pvals [B] f64, nscores [B] i32, hits [B] i32,
+    finished [B] bool) with the reference estimator: stop a window at
+    its ``threshold``-th hit (n = that permutation's 1-based index) or
+    at ``runs``; p = (hits+1)/(n+1) (css.c:727-752).  ``finished`` is
+    False only for windows cut off by ``max_chunks``.
 
     The permutation stream is chunk-indexed per window, so the loop is
     RESUMABLE: ``max_chunks`` caps this call's loop and ``state`` =
@@ -332,10 +333,15 @@ def _null_power_sums(
     bsize: int,
     chunk: int,
     n_chunks: int,
+    k0: jnp.ndarray | int = 0,
 ) -> jnp.ndarray:
     """Power sums of the permutation null, per chunk: [n_chunks, 3, B]
     with rows (sum s, sum s^2, sum s^3) in f64 — raw material for
-    moment fits and for chunk-convergence diagnostics."""
+    moment fits and for chunk-convergence diagnostics.
+
+    ``k0`` offsets the chunk indices so successive calls EXTEND the
+    per-window stream (chunks k0..k0+n_chunks-1) instead of replaying
+    chunk 0 — the adaptive-doubling caller depends on this."""
     distf = dist.astype(jnp.float32)
 
     def one(k):
@@ -349,7 +355,7 @@ def _null_power_sums(
             ]
         )
 
-    return jax.lax.map(one, jnp.arange(n_chunks))
+    return jax.lax.map(one, k0 + jnp.arange(n_chunks))
 
 
 def _pearson3_tail(scores, s1, s2, s3, n):
@@ -433,47 +439,68 @@ def approx_significance(
 
     pvals = np.zeros(B)
     nsc = np.zeros(B, dtype=np.int64)
-    for _, sel, sel_p in _batch_iter(B, window_batch, n_shards):
-        dist_b = _put(dist[sel_p], sharding)
-        keys_b = _window_streams(
-            key, len(sel_p), chroms[sel_p], slots[sel_p], sharding
-        )
-        nchunks = n_chunks
-        active = np.arange(len(sel))          # indices into sel
-        p_b = np.zeros(len(sel))
-        n_b = np.zeros(len(sel), dtype=np.int64)
-        # power sums accumulate; each round doubles the chunk count by
-        # extending the (deterministic, chunk-indexed) stream
-        sums = np.zeros((0, 3, len(sel_p)))
-        done_chunks = 0
-        for round_i in range(max_rounds + 1):
-            new = _null_power_sums(
-                dist_b, keys_b, asize, bsize, chunk, nchunks - done_chunks
-            )
-            jax.block_until_ready(new)
-            new = jax.device_get(new)
-            sums = np.concatenate([sums, new]) if len(sums) else new
-            done_chunks = nchunks
 
-            tot = sums.sum(axis=0)            # [3, Bp]
-            half = sums[: max(len(sums) // 2, 1)].sum(axis=0)
-            n_tot = done_chunks * chunk
-            n_half = max(len(sums) // 2, 1) * chunk
-            p_full = _pearson3_tail(
-                scores[sel_p], tot[0], tot[1], tot[2], n_tot
-            )[: len(sel)]
-            p_half = _pearson3_tail(
-                scores[sel_p], half[0], half[1], half[2], n_half
-            )[: len(sel)]
-            drift = np.abs(np.log10(p_full) - np.log10(p_half))
-            p_b[active] = p_full[active]
-            n_b[active] = n_tot
-            active = active[drift[active] > stable_log10]
-            if len(active) == 0 or round_i == max_rounds:
+    def _power(idx_p, n_new, k0):
+        """Fetched per-chunk power sums for padded global indices."""
+        out = _null_power_sums(
+            _put(dist[idx_p], sharding),
+            _window_streams(
+                key, len(idx_p), chroms[idx_p], slots[idx_p], sharding
+            ),
+            asize,
+            bsize,
+            chunk,
+            n_new,
+            jnp.int32(k0),
+        )
+        jax.block_until_ready(out)
+        return jax.device_get(out)
+
+    def _drift(sc, half, n_half, tot, n_tot):
+        p_full = _pearson3_tail(sc, tot[0], tot[1], tot[2], n_tot)
+        p_half = _pearson3_tail(sc, half[0], half[1], half[2], n_half)
+        return p_full, np.abs(np.log10(p_full) - np.log10(p_half))
+
+    for _, sel, sel_p in _batch_iter(B, window_batch, n_shards):
+        # round 0: n_chunks chunks for the whole batch; half-vs-full
+        # moment fits flag unstable windows
+        per_chunk = _power(sel_p, n_chunks, 0)            # [K0, 3, Bp]
+        tot = per_chunk.sum(axis=0)[:, : len(sel)]        # [3, Bw]
+        half_k = max(n_chunks // 2, 1)
+        half = per_chunk[:half_k].sum(axis=0)[:, : len(sel)]
+        k_done = n_chunks
+        p_full, drift = _drift(
+            scores[sel], half, half_k * chunk, tot, k_done * chunk
+        )
+        pvals[sel] = p_full
+        nsc[sel] = k_done * chunk
+        active = np.nonzero(drift > stable_log10)[0]      # indices into sel
+
+        # escalation rounds: COMPACT to the unstable windows and EXTEND
+        # their chunk-indexed streams (k0 = k_done), doubling the sample
+        for _round in range(max_rounds):
+            if len(active) == 0:
                 break
-            nchunks *= 2
-        pvals[sel] = p_b
-        nsc[sel] = n_b
+            g = sel[active]
+            tot_g = tot[:, active]
+            for _, s2, s2_p in _batch_iter(len(g), window_batch, n_shards):
+                new = _power(g[s2_p], k_done, k_done)     # [k_done, 3, .]
+                new_tot = new.sum(axis=0)[:, : len(s2)]
+                half2 = tot_g[:, s2]                      # first half = old
+                tot2 = half2 + new_tot
+                p2, d2 = _drift(
+                    scores[g[s2]],
+                    half2,
+                    k_done * chunk,
+                    tot2,
+                    2 * k_done * chunk,
+                )
+                pvals[g[s2]] = p2
+                nsc[g[s2]] = 2 * k_done * chunk
+                tot[:, active[s2]] = tot2
+                drift[active[s2]] = d2
+            k_done *= 2
+            active = active[drift[active] > stable_log10]
 
     return McResult(
         pvals=pvals, nscores=nsc, hits=np.zeros(B, dtype=np.int64)

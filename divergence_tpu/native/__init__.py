@@ -175,14 +175,16 @@ def vcf_convert_native(
     lib = _load()
     if lib is None:
         return None
-    found = ctypes.create_string_buffer(
-        sum(len(n) for n in population) + len(population) + 16
-    )
+    # '\n'-separated marshalling: newline cannot appear inside a VCF
+    # header column (columns are single-line, tab-separated), unlike ','
+    # which is legal in a sample ID; buffer sized in UTF-8 BYTES
+    names_blob = "\n".join(population).encode()
+    found = ctypes.create_string_buffer(len(names_blob) + 16)
     rows = lib.vcf_convert(
         str(vcf_path).encode(),
         str(out_path).encode(),
         gtrack_header.encode(),
-        ",".join(population).encode(),
+        names_blob,
         found,
         ctypes.c_longlong(len(found)),
         int(n_threads),
@@ -190,7 +192,7 @@ def vcf_convert_native(
     if rows < 0:
         return None
     text = found.value.decode()
-    return [n for n in text.split(",") if n]
+    return [n for n in text.split("\n") if n]
 
 
 def native_available() -> bool:

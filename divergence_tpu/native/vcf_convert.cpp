@@ -65,7 +65,7 @@ struct ConvertSpec {
 };
 
 void convert_chunk(const char* p, const char* end, const ConvertSpec* spec,
-                   std::string* out) {
+                   std::string* out, int* status) {
   std::vector<Field> fields;
   fields.reserve(64);
   // the only four codes, as ready-made strings (snprintf per row cost
@@ -78,14 +78,23 @@ void convert_chunk(const char* p, const char* end, const ConvertSpec* spec,
       split_tabs(p, le, &fields);
       int maxidx = spec->chromidx > spec->posidx ? spec->chromidx
                                                  : spec->posidx;
-      bool ok = static_cast<int>(fields.size()) > maxidx;
-      if (ok) {
+      if (static_cast<int>(fields.size()) <= maxidx) {
+        // malformed/truncated line: the Python semantics definition
+        // raises IndexError here — report instead of fabricating rows
+        *status = -7;
+        return;
+      }
+      {
         const Field& chrom = fields[static_cast<size_t>(spec->chromidx)];
         const Field& pos = fields[static_cast<size_t>(spec->posidx)];
         for (size_t i = 0; i < spec->popidx.size(); ++i) {
           int col = spec->popidx[i];
+          if (static_cast<int>(fields.size()) <= col) {
+            *status = -7;  // sample column missing: Python IndexErrors
+            return;
+          }
           int ci = 3;  // default missing
-          if (static_cast<int>(fields.size()) > col) {
+          {
             const Field& f = fields[static_cast<size_t>(col)];
             // take sub-field gtidx of the ':'-separated call
             const char* q = f.p;
@@ -106,7 +115,11 @@ void convert_chunk(const char* p, const char* end, const ConvertSpec* spec,
               }
               ++q;
             }
-            if (gt) ci = geno_code_idx(gt, gtlen);
+            if (!gt) {
+              *status = -7;  // GT sub-field missing: Python IndexErrors
+              return;
+            }
+            ci = geno_code_idx(gt, gtlen);
           }
           out->append(chrom.p, chrom.len);
           out->push_back('\t');
@@ -129,10 +142,11 @@ extern "C" {
 
 // Returns the number of (SNP, individual) rows written, or negative on
 // error (-1 open, -2 read, -3 no #CHROM header, -4 missing POS/FORMAT,
-// -5 no GT in FORMAT, -6 output open failed).  found_buf receives the
-// comma-separated population names actually present in the header.
+// -5 no GT in FORMAT, -6 output open failed, -7 malformed data line).
+// found_buf receives the newline-separated population names actually
+// present in the header.
 long long vcf_convert(const char* vcf_path, const char* out_path,
-                      const char* gtrack_header, const char* names_csv,
+                      const char* gtrack_header, const char* names_nlsv,
                       char* found_buf, long long found_cap,
                       int n_threads) {
   FILE* f = fopen(vcf_path, "rb");
@@ -173,11 +187,13 @@ long long vcf_convert(const char* vcf_path, const char* out_path,
         if (name == "FORMAT") formatidx = static_cast<int>(i);
       }
       if (spec.chromidx < 0 || spec.posidx < 0 || formatidx < 0) return -4;
-      // map population names (preserving request order, dropping missing)
-      std::string csv(names_csv);
+      // map population names (preserving request order, dropping
+      // missing); '\n'-separated — a newline cannot occur inside a VCF
+      // header column, unlike ',' which is legal in sample IDs
+      std::string csv(names_nlsv);
       size_t start = 0;
       while (start <= csv.size()) {
-        size_t comma = csv.find(',', start);
+        size_t comma = csv.find('\n', start);
         if (comma == std::string::npos) comma = csv.size();
         std::string want = csv.substr(start, comma - start);
         if (!want.empty()) {
@@ -251,13 +267,18 @@ long long vcf_convert(const char* vcf_path, const char* out_path,
   starts[static_cast<size_t>(n_threads)] = end;
 
   std::vector<std::string> outs(static_cast<size_t>(n_threads));
+  std::vector<int> statuses(static_cast<size_t>(n_threads), 0);
   std::vector<std::thread> threads;
   for (int t = 0; t < n_threads; ++t) {
     threads.emplace_back(convert_chunk, starts[static_cast<size_t>(t)],
                          starts[static_cast<size_t>(t) + 1], &spec,
-                         &outs[static_cast<size_t>(t)]);
+                         &outs[static_cast<size_t>(t)],
+                         &statuses[static_cast<size_t>(t)]);
   }
   for (auto& th : threads) th.join();
+  for (int st : statuses) {
+    if (st < 0) return st;
+  }
 
   FILE* out = fopen(out_path, "wb");
   if (!out) return -6;
@@ -274,7 +295,7 @@ long long vcf_convert(const char* vcf_path, const char* out_path,
   // report found names
   std::string joined;
   for (size_t i = 0; i < spec.names.size(); ++i) {
-    if (i) joined.push_back(',');
+    if (i) joined.push_back('\n');
     joined += spec.names[i];
   }
   if (found_buf && found_cap > 0) {

@@ -55,12 +55,23 @@ def _time_step(step, sh, av, bv, nposs, repeats):
         jax.device_put(jnp.asarray(nposs), sh),
         jax.random.PRNGKey(0),
     )
-    out = step(*args)                 # compile + warm
-    jax.block_until_ready(out)
+
+    def fetch(out):
+        # a d2h fetch of a scalar depending on every output path forces
+        # execution — block_until_ready does NOT on remote-TPU backends
+        # (CLAUDE.md TPU environment notes)
+        chk = (
+            jnp.sum(out["fet_scores"])
+            + jnp.sum(out["fet_stddev"])
+            + jnp.sum(jnp.where(out["css_valid"], out["css_scores"], 0.0))
+            + jnp.sum(out["mc_hits"]).astype(jnp.float64)
+        )
+        return float(jax.device_get(chk))
+
+    fetch(step(*args))                # compile + warm
     t0 = time.perf_counter()
     for _ in range(repeats):
-        out = step(*args)
-        jax.block_until_ready(out)
+        fetch(step(*args))
     return (time.perf_counter() - t0) / repeats
 
 

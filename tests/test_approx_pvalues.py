@@ -123,6 +123,26 @@ def test_approx_moment_convergence(null_batch):
     assert (big.nscores >= 8 * 512).all()
 
 
+def test_approx_escalation_extends_stream(null_batch):
+    """Escalation rounds must EXTEND the chunk-indexed permutation
+    stream, not replay chunk 0 (the round-2 review bug): forcing full
+    escalation must (a) spend the advertised permutations and (b) land
+    on exactly the same fit as a single-shot run over the same chunks."""
+    asize, bsize = 11, 10
+    key = jax.random.PRNGKey(17)
+    obs, _ = _observed_at_quantile(null_batch[:8], 0.05, asize, bsize, key)
+    forced = kperm.approx_significance(
+        null_batch[:8], obs, asize, bsize, key, chunk=256,
+        n_chunks=2, stable_log10=-1.0, max_rounds=2,
+    )
+    assert (forced.nscores == 2 * 256 * 4).all(), forced.nscores
+    single = kperm.approx_significance(
+        null_batch[:8], obs, asize, bsize, key, chunk=256,
+        n_chunks=8, max_rounds=0, stable_log10=1e9,
+    )
+    np.testing.assert_allclose(forced.pvals, single.pvals, rtol=1e-12)
+
+
 def test_engine_p_mode_approx(rng):
     from divergence_tpu.config import CssConfig, WindowConfig
     from divergence_tpu.engine import run_css

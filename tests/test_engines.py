@@ -213,3 +213,24 @@ def test_multi_chromosome_engines_match_looped(rng):
         # per-window RNG streams are (seed, seqid, slot)-pinned, so the
         # genome-wide MC reproduces the per-chromosome MC bit-for-bit
         np.testing.assert_array_equal(multi[seqid][1], p)
+
+
+def test_css_prefix_budget_fallback(rng, monkeypatch):
+    """Above the prefix element budget the engine falls back to the
+    per-bucket gather kernel with identical scores (and identical
+    stream-pinned p-values)."""
+    from divergence_tpu.engine import css_engine
+
+    npos, region = 300, 15_000
+    positions = np.sort(rng.choice(np.arange(1, region), npos, replace=False))
+    av = rng.choice([3.0, -3.0, 0.0], size=(npos, 5))
+    bv = rng.choice([3.0, -3.0, 0.0], size=(npos, 4))
+    pair = SnpPair(positions=positions, avals=av, bvals=bv)
+    cfg = CssConfig(window=WCFG, mc_runs=300, mc_chunk=128)
+
+    s_pref, p_pref = run_css(pair, region, cfg, seqid="chrZ")
+    monkeypatch.setattr(css_engine, "PREFIX_MAX_ELEMS", 1)
+    pair2 = SnpPair(positions=positions, avals=av, bvals=bv)
+    s_gath, p_gath = run_css(pair2, region, cfg, seqid="chrZ")
+    np.testing.assert_allclose(s_pref, s_gath, rtol=1e-9, atol=1e-12)
+    np.testing.assert_array_equal(p_pref, p_gath)

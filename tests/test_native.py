@@ -144,3 +144,26 @@ def test_native_vcf_convert_via_public_api(tmp_path):
     assert vcf_to_gtrack(plain, ["a", "b"], o1, "g") == ["a", "b"]
     assert vcf_to_gtrack(gz, ["a", "b"], o2, "g") == ["a", "b"]
     assert o1.read_text() == o2.read_text()
+
+
+def test_native_vcf_malformed_line_strictness(tmp_path):
+    """A truncated data line (missing sample column) must not be
+    silently converted: the native path reports failure (None) and the
+    Python fallback raises, matching the semantics definition."""
+    from divergence_tpu.io import vcf_to_gtrack
+    from divergence_tpu.io.gtrack import gtrack_points_header
+    from divergence_tpu.native import vcf_convert_native
+
+    vcf = tmp_path / "t.vcf"
+    vcf.write_text(
+        "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\ta\tb\n"
+        "chr1\t10\t.\tA\tT\t50\tPASS\t.\tGT\t0/0\t1/1\n"
+        "chr1\t20\t.\tA\tT\t50\tPASS\t.\tGT\t0/1\n"  # 'b' column missing
+    )
+    out = tmp_path / "o.gtrack"
+    assert (
+        vcf_convert_native(vcf, out, gtrack_points_header("g"), ["a", "b"])
+        is None
+    )
+    with pytest.raises(IndexError):
+        vcf_to_gtrack(vcf, ["a", "b"], out, "g")
