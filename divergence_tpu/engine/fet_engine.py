@@ -99,7 +99,7 @@ def _fet_dispatch(
             snp_logs,
             lo_d,
             npos_d,
-            jnp.float64(cfg.percentile),
+            float(cfg.percentile),
             jax.random.fold_in(key, bi),
             nsamples=cfg.bootstrap_samples,
             P=bucket.padded_npos,

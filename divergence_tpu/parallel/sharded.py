@@ -74,7 +74,7 @@ def make_divergence_step(
             av,
             bv,
             npos,
-            jnp.float64(percentile),
+            float(percentile),
             jax.random.fold_in(key, 0),
             nsamples=nsamples,
             maxs=maxs,

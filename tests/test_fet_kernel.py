@@ -82,7 +82,7 @@ def test_window_scores_match_oracle(rng, panel):
         jnp.asarray(av),
         jnp.asarray(bv),
         jnp.asarray(npos),
-        jnp.float64(perc),
+        perc,
         jax.random.PRNGKey(0),
         nsamples=100,
         maxs=maxs,
@@ -116,7 +116,7 @@ def test_sorted_percentile_matches_oracle(rng):
             padded[:n] = vals
             srt = jnp.sort(jnp.asarray(padded))[None, :]
             npos = jnp.asarray([n])
-            idx, hi_idx, delta = kfet._interp_ranks(npos, jnp.float64(perc))
+            idx, hi_idx, delta = kfet._interp_ranks(npos, perc)
             v_lo = kfet._sorted_pick(srt, npos, idx[..., None])[..., 0]
             v_hi = kfet._sorted_pick(srt, npos, hi_idx[..., None])[..., 0]
             got = (1.0 - delta) * v_lo + delta * v_hi
@@ -136,7 +136,7 @@ def test_bootstrap_orderstat_distributional_parity(rng):
     npos = np.full(B, P, dtype=np.int64)
     _, std_k = kfet.fet_window_batch(
         jnp.asarray(av), jnp.asarray(bv), jnp.asarray(npos),
-        jnp.float64(0.95), jax.random.PRNGKey(3),
+        0.95, jax.random.PRNGKey(3),
         nsamples=400, maxs=kfet.support_size(asize, bsize),
         nmax=asize + bsize + 2,
     )

@@ -100,7 +100,7 @@ def test_sharded_matches_unsharded_kernels():
         av,
         bv,
         npos,
-        jnp.float64(0.95),
+        0.95,
         jax.random.PRNGKey(1),
         nsamples=4,
         maxs=maxs,
