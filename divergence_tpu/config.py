@@ -145,6 +145,13 @@ class CssConfig:
     # keyed per batch+chunk (p_mode="mc" only).
     perm_backend: str = "xla"
 
+    # Permutation draw stream for the xla backend: "mix" = threefry-keyed
+    # counter expansion (kernels/perm.py:_mix_bits, ~2x faster — bit
+    # generation was most of the MC kernel); "threefry" = the round-1
+    # f32-uniform stream.  Both are (seed, chrom, slot, chunk)-pinned;
+    # the estimator is stream-independent.
+    rng: str = "mix"
+
     def __post_init__(self) -> None:
         if self.mc_threshold <= 0 or self.mc_runs <= 0:
             raise ValueError("mc_threshold and mc_runs must be positive")
@@ -156,6 +163,8 @@ class CssConfig:
             raise ValueError("p_mode must be 'mc' or 'approx'")
         if self.perm_backend not in ("xla", "pallas"):
             raise ValueError("perm_backend must be 'xla' or 'pallas'")
+        if self.rng not in ("mix", "threefry"):
+            raise ValueError("rng must be 'mix' or 'threefry'")
 
 
 @dataclasses.dataclass(frozen=True)

@@ -287,6 +287,7 @@ def run_css_multi(
                 chroms=chroms_all,
                 slots=slots_all,
                 sharding=sharding,
+                bitgen=cfg.rng,
             )
         else:
             mc = kperm.significance(
@@ -302,6 +303,7 @@ def run_css_multi(
                 slots=slots_all,
                 sharding=sharding,
                 backend=cfg.perm_backend,
+                bitgen=cfg.rng,
             )
         mc_off = 0
         for seqid, nslots, slots, svals, _ in chrom_data:

@@ -61,18 +61,110 @@ def window_keys(key: jax.Array, chroms: jnp.ndarray, slots: jnp.ndarray):
     return jax.vmap(jax.random.fold_in)(k1, slots)
 
 
+def _mix32(x: jnp.ndarray) -> jnp.ndarray:
+    """32-bit avalanche (murmur3-style finalizer, Prospector constants)."""
+    x = (x ^ (x >> jnp.uint32(16))) * jnp.uint32(0x7FEB352D)
+    x = (x ^ (x >> jnp.uint32(15))) * jnp.uint32(0x846CA68B)
+    return x ^ (x >> jnp.uint32(16))
+
+
+def _mix_bits(keys: jax.Array, chunk: int, m: int) -> jnp.ndarray:
+    """[B, chunk, m] uint32 counter-expanded random bits.
+
+    The per-(window, chunk) 64-bit stream state is the raw threefry key
+    (already ``fold_in(seed, chrom, slot, chunk)``-derived — stream
+    SEPARATION keeps threefry's guarantees); only the intra-block
+    expansion of chunk*m words is the cheap counter mix
+    ``mix32(mix32(a ^ c) + b)`` — a bijection of the counter keyed by
+    the 64-bit state.  Pure elementwise jnp: output is a function of
+    (state, counter) alone, so batching/sharding invariance holds by
+    construction (XLA's RngBitGenerator has no such guarantee under
+    GSPMD).  Threefry bit generation was 63% of the MC kernel's CPU
+    wall time; this expansion is ~25x cheaper.
+    """
+    st = jax.random.key_data(keys)                    # [B, 2] uint32
+    ctr = jnp.arange(chunk * m, dtype=jnp.uint32)[None, :]
+    h = _mix32(_mix32(st[:, 0:1] ^ ctr) + st[:, 1:2])
+    return h.reshape(len(keys), chunk, m)
+
+
+def _ranks(keys: jax.Array, chunk: int, m: int, bitgen: str) -> jnp.ndarray:
+    """Permutation ranks [B, m, K] i32: position of individual j in the
+    stable ascending order of per-(window, perm) random draws, computed
+    by pairwise compares with index tie-break (identical to a stable
+    argsort, with no sort).  ``bitgen="mix"`` ranks raw uint32 counter
+    bits; ``"threefry"`` ranks f32 uniforms drawn from the key stream
+    (the round-1 stream, kept selectable for reproduction)."""
+    if bitgen == "mix":
+        xt = jnp.moveaxis(_mix_bits(keys, chunk, m), -1, -2)   # [B,m,K] u32
+    else:
+        x = jax.vmap(
+            lambda k: jax.random.uniform(k, (chunk, m), dtype=jnp.float32)
+        )(keys)
+        xt = jnp.moveaxis(x, -1, -2)                           # [B, m, K]
+    xj = xt[:, :, None, :]
+    xl = xt[:, None, :, :]
+    tie = (jnp.arange(m)[:, None] > jnp.arange(m)[None, :])[None, :, :, None]
+    cmp = (xj > xl) | ((xj == xl) & tie)
+    return jnp.sum(cmp.astype(jnp.int32), axis=2)              # [B, m, K]
+
+
+def _chain_weights(asize: int, bsize: int):
+    wa = 1.0 / (asize * asize * (asize - 1)) if asize > 1 else 0.0
+    wb = 1.0 / (bsize * bsize * (bsize - 1)) if bsize > 1 else 0.0
+    return wa, wb
+
+
+def _scores_from_ranks(
+    distf: jnp.ndarray,   # [B, m, m] f32
+    r: jnp.ndarray,       # [B, m, K] i32 ranks
+    asize: int,
+    bsize: int,
+    form: str = "broadcast",
+) -> jnp.ndarray:
+    """CSS of the rank-encoded permutations: [B, K] f32.
+
+    ``form="broadcast"``: one fused [B, m, m, K] coefficient pass (the
+    CPU winner — XLA fuses it into the reduction).  ``form="matmul"``:
+    the between-group sum via the +-1 identity
+    ``u^T D (1-u) = (S - v^T D v)/4`` (v = 2u-1; exact for the symmetric
+    zero-irrelevant-diagonal CSS distance matrices) so the m^2 work
+    rides a batched matmul (MXU on TPU) and only the adjacent-chain
+    term keeps a broadcast pass — kept for the hardware A/B
+    (tools/bench_mc.py)."""
+    m = distf.shape[-1]
+    wa, wb = _chain_weights(asize, bsize)
+    wj = wa * (r < asize - 1) + wb * ((r >= asize) & (r < m - 1))
+    adj = (r[:, None, :, :] == r[:, :, None, :] + 1).astype(jnp.float32)
+    if form == "matmul":
+        v = jnp.where(r < asize, 1.0, -1.0)            # [B, m, K]
+        vdv = jnp.sum(v * jnp.matmul(distf, v), axis=1)
+        s = jnp.sum(distf, axis=(1, 2))
+        between = (s[:, None] - vdv) * 0.25
+        chain = jnp.sum(
+            distf[..., None] * wj[:, :, None, :] * adj, axis=(1, 2)
+        )
+        return between / (asize * bsize) - (asize + bsize) * chain
+    u = (r < asize).astype(jnp.float32)
+    coeff = (u[:, :, None, :] * (1.0 - u[:, None, :, :])) / (asize * bsize) \
+        - (asize + bsize) * wj[:, :, None, :] * adj
+    return jnp.sum(distf[..., None] * coeff, axis=(1, 2))   # [B, K]
+
+
 def _perm_scores(
     distf: jnp.ndarray,   # [B, m, m] f32
     keys: jax.Array,      # [B] per-window typed PRNG keys
     asize: int,
     bsize: int,
     chunk: int,
+    bitgen: str = "mix",
+    form: str = "broadcast",
 ) -> jnp.ndarray:
     """CSS of ``chunk`` random label permutations per window: [B, K] f32.
 
     Rank-based, fusion-friendly formulation.  The permutation is encoded
     as RANKS r_j (position of individual j in the stable argsort of the
-    per-permutation uniforms — computed by pairwise compares with
+    per-permutation draws — computed by pairwise compares with
     index tie-break, NOT a sort), from which the reference CSS
     (css.c:608-647) collapses to ONE fused broadcast-multiply-reduce
     against D:
@@ -86,10 +178,16 @@ def _perm_scores(
     intermediates (Pi, Pi@D) in HBM per chunk — at m=21 that traffic,
     not FLOPs, bounded perms/s; here the broadcast terms are pure
     elementwise ops that XLA fuses into the reduction (4.5x on CPU; no
-    materialized intermediate).  The permutation per (window, chunk,
-    lane) is IDENTICAL to the argsort formulation, so the estimator and
-    its stream-pinning are unchanged (summation order differs at f32
-    epsilon).
+    materialized intermediate).
+
+    ``bitgen`` selects the permutation draw stream: "mix" (default)
+    ranks counter-expanded uint32 bits (:func:`_mix_bits` — another
+    ~2x: threefry bit generation alone was 63% of the kernel), while
+    "threefry" reproduces the round-1 f32-uniform stream.  Both are
+    pure functions of (seed, chrom, slot, chunk), preserving every
+    batching/sharding-invariance property; the ESTIMATOR is
+    stream-independent (the reference's wall-clock-seeded rand_r,
+    threadcss.c:220-223, promises nothing at all here).
 
     Layout: the chunk axis is kept LAST ([B, m, m, K]) so the large
     (lane-multiple) axis lands on the TPU's 128-lane dimension; with
@@ -97,28 +195,8 @@ def _perm_scores(
     (see ``_perm_scores_mlast`` kept for the hardware A/B in bench-mc).
     """
     m = distf.shape[-1]
-    x = jax.vmap(
-        lambda k: jax.random.uniform(k, (chunk, m), dtype=jnp.float32)
-    )(keys)
-    xt = jnp.moveaxis(x, -1, -2)                       # [B, m, K]
-    xj = xt[:, :, None, :]
-    xl = xt[:, None, :, :]
-    tie = (jnp.arange(m)[:, None] > jnp.arange(m)[None, :])[None, :, :, None]
-    cmp = (xj > xl) | ((xj == xl) & tie)
-    r = jnp.sum(cmp.astype(jnp.int32), axis=2)         # [B, m, K] ranks
-
-    u = (r < asize).astype(jnp.float32)
-    # per-rank chain weight (chain_weights semantics, arithmetic form —
-    # no table gather): wa for ranks 0..a-2, 0 at the group boundary
-    # a-1, wb for ranks a..m-2, 0 at the last rank
-    wa = 1.0 / (asize * asize * (asize - 1)) if asize > 1 else 0.0
-    wb = 1.0 / (bsize * bsize * (bsize - 1)) if bsize > 1 else 0.0
-    wj = wa * (r < asize - 1) + wb * ((r >= asize) & (r < m - 1))
-
-    adj = (r[:, None, :, :] == r[:, :, None, :] + 1).astype(jnp.float32)
-    coeff = (u[:, :, None, :] * (1.0 - u[:, None, :, :])) / (asize * bsize) \
-        - (asize + bsize) * wj[:, :, None, :] * adj
-    return jnp.sum(distf[..., None] * coeff, axis=(1, 2))   # [B, K]
+    r = _ranks(keys, chunk, m, bitgen)
+    return _scores_from_ranks(distf, r, asize, bsize, form)
 
 
 def _perm_scores_mlast(
@@ -127,22 +205,25 @@ def _perm_scores_mlast(
     asize: int,
     bsize: int,
     chunk: int,
+    bitgen: str = "mix",
 ) -> jnp.ndarray:
     """Chunk-axis-second layout variant ([B, K, m, m] broadcasts) —
     identical permutations and estimator; kept ONLY for the measured
     layout A/B on hardware (tools/bench_mc.py)."""
     m = distf.shape[-1]
-    x = jax.vmap(
-        lambda k: jax.random.uniform(k, (chunk, m), dtype=jnp.float32)
-    )(keys)
+    if bitgen == "mix":
+        x = _mix_bits(keys, chunk, m)                  # [B, K, m] u32
+    else:
+        x = jax.vmap(
+            lambda k: jax.random.uniform(k, (chunk, m), dtype=jnp.float32)
+        )(keys)
     xi = x[..., :, None]
     xl = x[..., None, :]
     tie = jnp.arange(m)[:, None] > jnp.arange(m)[None, :]
     cmp = (xi > xl) | ((xi == xl) & tie)
     r = jnp.sum(cmp.astype(jnp.int32), axis=-1)
     u = (r < asize).astype(jnp.float32)
-    wa = 1.0 / (asize * asize * (asize - 1)) if asize > 1 else 0.0
-    wb = 1.0 / (bsize * bsize * (bsize - 1)) if bsize > 1 else 0.0
+    wa, wb = _chain_weights(asize, bsize)
     wj = wa * (r < asize - 1) + wb * ((r >= asize) & (r < m - 1))
     adj = (r[..., None, :] == r[..., :, None] + 1).astype(jnp.float32)
     coeff = (u[..., :, None] * (1.0 - u[..., None, :])) / (asize * bsize) \
@@ -158,7 +239,7 @@ def _fold_chunk(keys: jax.Array, k) -> jax.Array:
 @functools.partial(
     jax.jit,
     static_argnames=("asize", "bsize", "chunk", "runs", "threshold",
-                     "max_chunks", "backend"),
+                     "max_chunks", "backend", "bitgen"),
 )
 def mc_significance(
     dist: jnp.ndarray,      # [B, m, m]
@@ -173,6 +254,7 @@ def mc_significance(
     state: tuple | None = None,
     backend: str = "xla",
     seed0: jnp.ndarray | None = None,
+    bitgen: str = "mix",
 ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Adaptive permutation MC for one window batch, on device.
 
@@ -218,7 +300,8 @@ def mc_significance(
             )
         else:
             new_scores = _perm_scores(
-                distf, _fold_chunk(keys, k), asize, bsize, chunk
+                distf, _fold_chunk(keys, k), asize, bsize, chunk,
+                bitgen=bitgen,
             )
         offset = k * chunk
         counted = (offset + jnp.arange(chunk)) < runs       # [K]
@@ -253,7 +336,7 @@ def mc_significance(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("asize", "bsize", "chunk")
+    jax.jit, static_argnames=("asize", "bsize", "chunk", "bitgen")
 )
 def permutation_chunk(
     dist: jnp.ndarray,      # [B, m, m] distances of active windows
@@ -264,6 +347,7 @@ def permutation_chunk(
     asize: int,
     bsize: int,
     chunk: int,
+    bitgen: str = "mix",
 ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """One fixed-shape chunk of the null (building block of the sharded
     divergence step, parallel/sharded.py).
@@ -272,7 +356,7 @@ def permutation_chunk(
     the 0-based in-chunk index of the permutation that delivered the
     ``need``-th hit (valid only where ``reached``)."""
     new_scores = _perm_scores(
-        dist.astype(jnp.float32), keys, asize, bsize, chunk
+        dist.astype(jnp.float32), keys, asize, bsize, chunk, bitgen=bitgen
     )
     counted = jnp.arange(chunk)[None, :] < limit
     hit = (new_scores >= scores[:, None].astype(jnp.float32)) & counted
@@ -324,7 +408,8 @@ def _put(x, sharding):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("asize", "bsize", "chunk", "n_chunks")
+    jax.jit, static_argnames=("asize", "bsize", "chunk", "n_chunks",
+                              "bitgen")
 )
 def _null_power_sums(
     dist: jnp.ndarray,     # [B, m, m]
@@ -334,6 +419,7 @@ def _null_power_sums(
     chunk: int,
     n_chunks: int,
     k0: jnp.ndarray | int = 0,
+    bitgen: str = "mix",
 ) -> jnp.ndarray:
     """Power sums of the permutation null, per chunk: [n_chunks, 3, B]
     with rows (sum s, sum s^2, sum s^3) in f64 — raw material for
@@ -345,7 +431,9 @@ def _null_power_sums(
     distf = dist.astype(jnp.float32)
 
     def one(k):
-        s = _perm_scores(distf, _fold_chunk(keys, k), asize, bsize, chunk)
+        s = _perm_scores(
+            distf, _fold_chunk(keys, k), asize, bsize, chunk, bitgen=bitgen
+        )
         s64 = s.astype(jnp.float64)
         return jnp.stack(
             [
@@ -401,6 +489,7 @@ def approx_significance(
     n_chunks: int = 2,
     stable_log10: float = 0.5,
     max_rounds: int = 3,
+    bitgen: str = "mix",
 ) -> McResult:
     """Pearson-III (moment-fitted) permutation p-values.
 
@@ -452,6 +541,7 @@ def approx_significance(
             chunk,
             n_new,
             jnp.int32(k0),
+            bitgen=bitgen,
         )
         jax.block_until_ready(out)
         return jax.device_get(out)
@@ -521,6 +611,7 @@ def significance(
     slots: np.ndarray | None = None,
     sharding=None,
     backend: str = "xla",
+    bitgen: str = "mix",
 ) -> McResult:
     """Adaptive permutation p-values for a set of windows.
 
@@ -599,6 +690,7 @@ def significance(
         out = mc_significance(
             dist_b, scores_b, keys_b, asize, bsize, chunk, runs,
             threshold, max_chunks=compact, backend=backend, seed0=seed0,
+            bitgen=bitgen,
         )
         pv, n, h, fin = _fetch(*out)
         pvals[sel] = pv[: len(sel)]
@@ -626,7 +718,7 @@ def significance(
             )
             out2 = mc_significance(
                 dist2, scores2, keys2, asize, bsize, chunk, runs,
-                threshold, state=state,
+                threshold, state=state, bitgen=bitgen,
             )
             pv2, n2, h2, _ = _fetch(*out2)
             tgt = g[s2]

@@ -1,10 +1,13 @@
 """Permutation-MC chunk micro-benchmark: XLA (rank-fused) vs Pallas.
 
-Measures raw permutations/second of the two chunk evaluators on the
+Measures raw permutations/second of the chunk evaluators on the
 current backend, on the production shape (stickleback panel, m=21).
 This is the measured artifact behind the ``perm_backend`` choice
 (VERDICT round-1 item 6): run on the TPU machine, keep the winner as
-the default.
+the default.  Variants: ``xla`` (mix bitgen, broadcast form — the
+production default), ``xla_threefry`` (round-1 stream), ``xla_matmul``
+(between-sum on the MXU via the +-1 identity), ``xla_mlast`` (chunk
+axis second), ``pallas`` (fused on-core-PRNG kernel).
 
 Timing protocol for the remote-tunnel TPU (see CLAUDE.md): work is
 only forced by a device_get, so each measurement fetches a reduced
@@ -48,12 +51,16 @@ def run_mc_bench(
     # pallas requires lane-multiple chunks
     pallas_chunk = ((chunk + 127) // 128) * 128
 
-    @jax.jit
-    def xla_chunk(k):
-        s = kperm._perm_scores(
-            distf, kperm._fold_chunk(keys, k), asize, bsize, chunk
-        )
-        return jnp.sum(s)
+    def make_xla(bitgen, form):
+        @jax.jit
+        def f(k):
+            s = kperm._perm_scores(
+                distf, kperm._fold_chunk(keys, k), asize, bsize, chunk,
+                bitgen=bitgen, form=form,
+            )
+            return jnp.sum(s)
+
+        return f
 
     @jax.jit
     def xla_mlast_chunk(k):
@@ -82,7 +89,11 @@ def run_mc_bench(
     for name in backends:
         try:
             if name == "xla":
-                fn, arg0, nperm = xla_chunk, jnp.int32(0), chunk
+                fn, arg0, nperm = make_xla("mix", "broadcast"), jnp.int32(0), chunk
+            elif name == "xla_threefry":
+                fn, arg0, nperm = make_xla("threefry", "broadcast"), jnp.int32(0), chunk
+            elif name == "xla_matmul":
+                fn, arg0, nperm = make_xla("mix", "matmul"), jnp.int32(0), chunk
             elif name == "xla_mlast":
                 fn, arg0, nperm = xla_mlast_chunk, jnp.int32(0), chunk
             else:

@@ -187,11 +187,28 @@ def test_permutation_estimator_extremes(rng):
     assert (res_lo.nscores == 10).all()
 
 
-def test_perm_scores_exact_vs_numpy_reconstruction(rng):
+def _numpy_mix_bits(keys, K, m):
+    """Host reconstruction of kernels/perm._mix_bits."""
+    st = np.asarray(jax.random.key_data(keys), dtype=np.uint64)
+    ctr = np.arange(K * m, dtype=np.uint64)[None, :]
+
+    def mix(x):
+        M = np.uint64(0xFFFFFFFF)
+        x = ((x ^ (x >> np.uint64(16))) * np.uint64(0x7FEB352D)) & M
+        x = ((x ^ (x >> np.uint64(15))) * np.uint64(0x846CA68B)) & M
+        return x ^ (x >> np.uint64(16))
+
+    h = mix((mix(st[:, 0:1] ^ ctr) + st[:, 1:2]) & np.uint64(0xFFFFFFFF))
+    return h.reshape(len(st), K, m)
+
+
+@pytest.mark.parametrize("bitgen", ["mix", "threefry"])
+def test_perm_scores_exact_vs_numpy_reconstruction(rng, bitgen):
     """_perm_scores must equal an explicit numpy CSS of the SAME
     permutations (reconstructed by stable argsort of the identical
-    uniforms) — pins the rank encoding, tie-break, chain weights and
-    group indicator, including degenerate group sizes."""
+    draws — f32 uniforms for threefry, raw u32 counter bits for mix) —
+    pins the rank encoding, tie-break, chain weights and group
+    indicator, including degenerate group sizes."""
     import jax.numpy as jnp
 
     for asize, bsize in ((11, 10), (5, 4), (1, 6), (2, 2)):
@@ -208,14 +225,20 @@ def test_perm_scores_exact_vs_numpy_reconstruction(rng):
         )
         got = np.asarray(
             kperm._perm_scores(
-                jnp.asarray(d, dtype=jnp.float32), keys, asize, bsize, K
+                jnp.asarray(d, dtype=jnp.float32), keys, asize, bsize, K,
+                bitgen=bitgen,
             )
         )
-        x = np.asarray(
-            jax.vmap(
-                lambda k: jax.random.uniform(k, (K, m), dtype=jnp.float32)
-            )(keys)
-        )
+        if bitgen == "mix":
+            x = _numpy_mix_bits(keys, K, m)
+        else:
+            x = np.asarray(
+                jax.vmap(
+                    lambda k: jax.random.uniform(
+                        k, (K, m), dtype=jnp.float32
+                    )
+                )(keys)
+            )
         w = np.zeros(m - 1)
         if asize > 1:
             w[: asize - 1] = 1.0 / (asize * asize * (asize - 1))
