@@ -18,7 +18,11 @@ BENCH_PROBE_ATTEMPTS=1 timeout 3600 python "$REPO/bench.py" \
     2> "$OUT/bench.stderr" | tee "$OUT/bench.json"
 tail -5 "$OUT/bench.stderr"
 
-echo "== bench-mc: bitgen + form + layout + pallas A/B =="
+echo "== bench-mc: in-loop (production) + standalone A/B =="
+timeout 3600 python -m divergence_tpu.tools.cli bench-mc \
+    --window-batch 1024 --chunk 256 --iters 8 \
+    --backends inloop,inloop_threefry,inloop_matmul,inloop_pallas \
+    | tee "$OUT/bench_mc_inloop.json"
 timeout 3600 python -m divergence_tpu.tools.cli bench-mc \
     --window-batch 1024 --chunk 256 --iters 4 \
     --backends xla,xla_threefry,xla_matmul,xla_mlast,pallas \

@@ -146,11 +146,20 @@ class CssConfig:
     perm_backend: str = "xla"
 
     # Permutation draw stream for the xla backend: "mix" = threefry-keyed
-    # counter expansion (kernels/perm.py:_mix_bits, ~2x faster — bit
-    # generation was most of the MC kernel); "threefry" = the round-1
-    # f32-uniform stream.  Both are (seed, chrom, slot, chunk)-pinned;
-    # the estimator is stream-independent.
+    # counter expansion (kernels/perm.py:_mix_bits, measured ~25% faster
+    # in-loop on CPU — bit generation was a major share of the MC
+    # kernel); "threefry" = the round-1 f32-uniform stream.  Both are
+    # (seed, chrom, slot, chunk)-pinned; the estimator is
+    # stream-independent.
     rng: str = "mix"
+
+    # Arithmetic form of the xla chunk evaluator (identical permutations
+    # and estimator; see kernels/perm.py:_scores_from_ranks):
+    # "broadcast" = one fused [B, m, m, K] coefficient pass (the CPU
+    # in-loop winner); "matmul" = between-group sum as a batched matmul
+    # via the +-1 identity (MXU candidate — the TPU A/B in bench-mc
+    # decides).
+    perm_form: str = "broadcast"
 
     def __post_init__(self) -> None:
         if self.mc_threshold <= 0 or self.mc_runs <= 0:
@@ -165,6 +174,8 @@ class CssConfig:
             raise ValueError("perm_backend must be 'xla' or 'pallas'")
         if self.rng not in ("mix", "threefry"):
             raise ValueError("rng must be 'mix' or 'threefry'")
+        if self.perm_form not in ("broadcast", "matmul"):
+            raise ValueError("perm_form must be 'broadcast' or 'matmul'")
 
 
 @dataclasses.dataclass(frozen=True)

@@ -304,6 +304,7 @@ def run_css_multi(
                 sharding=sharding,
                 backend=cfg.perm_backend,
                 bitgen=cfg.rng,
+                form=cfg.perm_form,
             )
         mc_off = 0
         for seqid, nslots, slots, svals, _ in chrom_data:

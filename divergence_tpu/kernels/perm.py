@@ -239,7 +239,7 @@ def _fold_chunk(keys: jax.Array, k) -> jax.Array:
 @functools.partial(
     jax.jit,
     static_argnames=("asize", "bsize", "chunk", "runs", "threshold",
-                     "max_chunks", "backend", "bitgen"),
+                     "max_chunks", "backend", "bitgen", "form"),
 )
 def mc_significance(
     dist: jnp.ndarray,      # [B, m, m]
@@ -255,6 +255,7 @@ def mc_significance(
     backend: str = "xla",
     seed0: jnp.ndarray | None = None,
     bitgen: str = "mix",
+    form: str = "broadcast",
 ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Adaptive permutation MC for one window batch, on device.
 
@@ -301,7 +302,7 @@ def mc_significance(
         else:
             new_scores = _perm_scores(
                 distf, _fold_chunk(keys, k), asize, bsize, chunk,
-                bitgen=bitgen,
+                bitgen=bitgen, form=form,
             )
         offset = k * chunk
         counted = (offset + jnp.arange(chunk)) < runs       # [K]
@@ -612,6 +613,7 @@ def significance(
     sharding=None,
     backend: str = "xla",
     bitgen: str = "mix",
+    form: str = "broadcast",
 ) -> McResult:
     """Adaptive permutation p-values for a set of windows.
 
@@ -690,7 +692,7 @@ def significance(
         out = mc_significance(
             dist_b, scores_b, keys_b, asize, bsize, chunk, runs,
             threshold, max_chunks=compact, backend=backend, seed0=seed0,
-            bitgen=bitgen,
+            bitgen=bitgen, form=form,
         )
         pv, n, h, fin = _fetch(*out)
         pvals[sel] = pv[: len(sel)]
@@ -718,7 +720,7 @@ def significance(
             )
             out2 = mc_significance(
                 dist2, scores2, keys2, asize, bsize, chunk, runs,
-                threshold, state=state, bitgen=bitgen,
+                threshold, state=state, bitgen=bitgen, form=form,
             )
             pv2, n2, h2, _ = _fetch(*out2)
             tgt = g[s2]

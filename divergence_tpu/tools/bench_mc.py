@@ -1,13 +1,28 @@
-"""Permutation-MC chunk micro-benchmark: XLA (rank-fused) vs Pallas.
+"""Permutation-MC evaluator micro-benchmark: XLA variants vs Pallas.
 
-Measures raw permutations/second of the chunk evaluators on the
-current backend, on the production shape (stickleback panel, m=21).
-This is the measured artifact behind the ``perm_backend`` choice
-(VERDICT round-1 item 6): run on the TPU machine, keep the winner as
-the default.  Variants: ``xla`` (mix bitgen, broadcast form — the
-production default), ``xla_threefry`` (round-1 stream), ``xla_matmul``
-(between-sum on the MXU via the +-1 identity), ``xla_mlast`` (chunk
-axis second), ``pallas`` (fused on-core-PRNG kernel).
+Measures permutations/second of the chunk evaluators on the current
+backend, on the production shape (stickleback panel, m=21).  This is
+the measured artifact behind the ``perm_backend``/``rng``/``perm_form``
+choices (VERDICT round-1 item 6): run on the TPU machine, keep the
+winner as the default.
+
+Two protocols:
+
+- ``inloop_*`` — the variant inside the production
+  :func:`kernels.perm.mc_significance` while-loop, scores pinned so no
+  window stops early.  THIS is the number that predicts engine
+  throughput: XLA fuses the chunk evaluator differently inside the loop
+  (measured 5x faster than the same chunk standalone on CPU — the
+  standalone protocol materializes what the in-loop reduction consumes
+  fused).
+- standalone — one jitted chunk call per measurement; kept to document
+  that fusion-context effect and for kernels with no loop form.
+
+Variants: ``xla`` (mix bitgen, broadcast form — the production
+default), ``xla_threefry`` (round-1 stream), ``xla_matmul``
+(between-sum as a batched matmul via the +-1 identity), ``xla_mlast``
+(chunk axis second), ``pallas`` (fused on-core-PRNG kernel), and
+``inloop``, ``inloop_threefry``, ``inloop_matmul``, ``inloop_pallas``.
 
 Timing protocol for the remote-tunnel TPU (see CLAUDE.md): work is
 only forced by a device_get, so each measurement fetches a reduced
@@ -81,6 +96,34 @@ def run_mc_bench(
 
         return pallas_chunk_fn
 
+    def run_inloop(bitgen, form, backend):
+        """Time mc_significance with unreachable scores: every window
+        runs its full permutation budget — steady-state in-loop rate."""
+        nperm = pallas_chunk if backend == "pallas" else chunk
+        runs = nperm * iters
+        scores = jnp.full(window_batch, 1e30, dtype=jnp.float64)
+        seed0 = jnp.int32(1) if backend == "pallas" else None
+
+        def go():
+            out = kperm.mc_significance(
+                distf, scores, keys, asize, bsize, nperm, runs,
+                10, backend=backend, seed0=seed0, bitgen=bitgen,
+                form=form,
+            )
+            return jax.device_get(out[0])
+
+        go()                                          # compile + warm
+        t0 = time.perf_counter()
+        pv = go()
+        dt = time.perf_counter() - t0
+        return {
+            "chunk": nperm,
+            "loop_chunks": iters,
+            "wall_s": round(dt, 4),
+            "perms_per_s": round(window_batch * runs / dt),
+            "checksum": round(float(np.sum(pv)), 2),
+        }
+
     results = {
         "backend": jax.default_backend(),
         "window_batch": window_batch,
@@ -88,6 +131,16 @@ def run_mc_bench(
     }
     for name in backends:
         try:
+            if name.startswith("inloop"):
+                variant = name[len("inloop"):].lstrip("_") or "xla"
+                bitgen, form, backend = {
+                    "xla": ("mix", "broadcast", "xla"),
+                    "threefry": ("threefry", "broadcast", "xla"),
+                    "matmul": ("mix", "matmul", "xla"),
+                    "pallas": ("mix", "broadcast", "pallas"),
+                }[variant]
+                results[name] = run_inloop(bitgen, form, backend)
+                continue
             if name == "xla":
                 fn, arg0, nperm = make_xla("mix", "broadcast"), jnp.int32(0), chunk
             elif name == "xla_threefry":

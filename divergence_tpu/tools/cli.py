@@ -229,6 +229,8 @@ def cmd_run_css(args) -> None:
         precision=args.precision,
         p_mode=args.p_mode,
         perm_backend=args.perm_backend,
+        rng=args.rng,
+        perm_form=args.perm_form,
     )
     from divergence_tpu.engine.css_engine import run_css_multi
 
@@ -474,6 +476,21 @@ def build_parser() -> argparse.ArgumentParser:
         default="xla",
         help="MC chunk evaluator: xla (stream-pinned threefry) or the "
         "fused Pallas on-core-PRNG kernel",
+    )
+    p.add_argument(
+        "--rng",
+        choices=["mix", "threefry"],
+        default="mix",
+        help="permutation draw stream (xla backend): mix = counter "
+        "expansion (faster), threefry = round-1 f32-uniform stream; "
+        "both (seed, chrom, slot, chunk)-pinned",
+    )
+    p.add_argument(
+        "--perm-form",
+        choices=["broadcast", "matmul"],
+        default="broadcast",
+        help="arithmetic form of the xla chunk evaluator (identical "
+        "permutations; bench-mc inloop A/B decides per hardware)",
     )
     p.set_defaults(fn=cmd_run_css)
 

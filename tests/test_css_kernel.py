@@ -258,6 +258,56 @@ def test_perm_scores_exact_vs_numpy_reconstruction(rng, bitgen):
                 )
 
 
+def test_perm_scores_matmul_form_matches_broadcast(rng):
+    """The +-1-identity matmul form must score the SAME permutations as
+    the fused broadcast form to f32 rounding, including degenerate
+    group sizes, and the form must plumb through mc_significance with
+    an unchanged estimator."""
+    import jax
+    import jax.numpy as jnp
+
+    for asize, bsize in ((11, 10), (5, 4), (1, 6), (2, 2)):
+        m = asize + bsize
+        B, K = 5, 33
+        d = rng.random((B, m, m))
+        d = d + d.transpose(0, 2, 1)
+        for i in range(B):
+            np.fill_diagonal(d[i], 0.0)
+        keys = kperm.window_keys(
+            jax.random.PRNGKey(3),
+            jnp.zeros(B, dtype=jnp.int64),
+            jnp.arange(B, dtype=jnp.int64),
+        )
+        distf = jnp.asarray(d, dtype=jnp.float32)
+        bc = np.asarray(
+            kperm._perm_scores(distf, keys, asize, bsize, K)
+        )
+        mm = np.asarray(
+            kperm._perm_scores(distf, keys, asize, bsize, K, form="matmul")
+        )
+        np.testing.assert_allclose(mm, bc, atol=5e-4), (asize, bsize)
+
+    # estimator parity through the adaptive loop (non-borderline scores)
+    d = rng.random((6, 21, 21))
+    d = d + d.transpose(0, 2, 1)
+    for i in range(6):
+        np.fill_diagonal(d[i], 0.0)
+    keys = kperm.window_keys(
+        jax.random.PRNGKey(5),
+        jnp.zeros(6, dtype=jnp.int64),
+        jnp.arange(6, dtype=jnp.int64),
+    )
+    scores = jnp.full(6, -1e9, dtype=jnp.float64)   # every perm hits
+    out_bc = kperm.mc_significance(
+        jnp.asarray(d), scores, keys, 11, 10, 32, 64, 10
+    )
+    out_mm = kperm.mc_significance(
+        jnp.asarray(d), scores, keys, 11, 10, 32, 64, 10, form="matmul"
+    )
+    for a, b in zip(out_bc, out_mm):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_permutation_pvalues_statistical(rng):
     # p-values must agree with the oracle MC within Monte-Carlo error
     m, asize, bsize = 9, 5, 4
