@@ -80,7 +80,7 @@ def _css_mc_flops(perms: int, m: int) -> float:
 
 
 def _probe_backend(timeout_s: int, attempts: int, wait_s: int) -> bool:
-    """True if the default JAX backend initializes within the timeout.
+    """True if a non-CPU JAX backend initializes within the timeout.
 
     Run in a subprocess: a wedged remote-TPU tunnel blocks backend init
     indefinitely and a thread cannot be killed.  Retries with a pause —
@@ -101,7 +101,8 @@ def _probe_backend(timeout_s: int, attempts: int, wait_s: int) -> bool:
                 [
                     sys.executable,
                     "-c",
-                    "import divergence_tpu, jax; jax.devices(); print('ok')",
+                    "import divergence_tpu, jax; d = jax.devices(); "
+                    "assert d[0].platform != 'cpu', d; print('ok')",
                 ],
                 timeout=timeout_s,
                 capture_output=True,
@@ -241,33 +242,23 @@ def main() -> None:
             extras["ref_c_fet_tests_per_sec_64thr"] = rate
             extras["vs_ref_c_fet"] = round(tpu_rate / rate, 2)
 
-    if cpu_fallback:
-        print(
-            json.dumps(
-                {
-                    "metric": "fet_snp_tests_per_sec_chip",
-                    "value": round(tpu_rate, 1),
-                    "unit": "tests/s (CPU FALLBACK - no TPU available)",
-                    "vs_baseline": round(vs, 2),
-                    **extras,
-                }
-            )
-        )
-        return
-
     from divergence_tpu.config import CssConfig
     from divergence_tpu.engine import run_css
     from divergence_tpu.utils.summary import RunSummary
 
-    cpos, camat, cbmat = make_chromosome(10_000, 500_000, asize, bsize, 11)
+    # CPU fallback still measures CSS (the other headline number), on a
+    # reduced region so the divergent-window 200k-permutation cap keeps
+    # the fallback run in tens of seconds.
+    css_npos, css_region = (10_000, 500_000) if not cpu_fallback else (2_000, 100_000)
+    cpos, camat, cbmat = make_chromosome(css_npos, css_region, asize, bsize, 11)
     cpair = SnpPair(positions=cpos, avals=camat, bvals=cbmat)
     css_cfg = CssConfig(precision="fast")
-    run_css(cpair, 500_000, css_cfg)
+    run_css(cpair, css_region, css_cfg)
     css_s = float("inf")
     for _ in range(2):
         csum = RunSummary()
         t0 = time.perf_counter()
-        cs, cp = run_css(cpair, 500_000, css_cfg, summary=csum)
+        cs, cp = run_css(cpair, css_region, css_cfg, summary=csum)
         css_s = min(css_s, time.perf_counter() - t0)
     ncw = int(np.count_nonzero(cs))
     mc = csum.counters.get("mc_permutations", 0)
@@ -303,9 +294,9 @@ def main() -> None:
 
     # Pearson-III approx mode: the production estimator at scale
     approx_cfg = CssConfig(precision="fast", p_mode="approx")
-    run_css(cpair, 500_000, approx_cfg)
+    run_css(cpair, css_region, approx_cfg)
     t0 = time.perf_counter()
-    ca, _ = run_css(cpair, 500_000, approx_cfg)
+    ca, _ = run_css(cpair, css_region, approx_cfg)
     approx_s = time.perf_counter() - t0
     print(
         f"[bench] css approx: {approx_s:.2f}s "
@@ -323,12 +314,20 @@ def main() -> None:
             extras["ref_c_css_perms_per_sec_64thr"] = perm_rate
             extras["vs_ref_c_css"] = round(mc / css_s / perm_rate, 2)
 
+    # The marker reflects the ACTUAL execution platform, not the probe's
+    # verdict — a silent in-process fall-back to CPU must never present
+    # a CPU number under the TPU metric name (round-1 VERDICT weak #1).
+    unit = (
+        "tests/s"
+        if dev.platform != "cpu"
+        else "tests/s (CPU FALLBACK - no TPU available)"
+    )
     print(
         json.dumps(
             {
                 "metric": "fet_snp_tests_per_sec_chip",
                 "value": round(tpu_rate, 1),
-                "unit": "tests/s",
+                "unit": unit,
                 "vs_baseline": round(vs, 2),
                 **extras,
             }
