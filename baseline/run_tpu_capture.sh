@@ -25,7 +25,7 @@ timeout 3600 python -m divergence_tpu.tools.cli bench-mc \
     | tee "$OUT/bench_mc_inloop.json"
 timeout 3600 python -m divergence_tpu.tools.cli bench-mc \
     --window-batch 1024 --chunk 256 --iters 4 \
-    --backends xla,xla_threefry,xla_matmul,xla_mlast,pallas \
+    --backends xla,xla_threefry,xla_matmul,xla_mlast,pallas,native \
     | tee "$OUT/bench_mc.json"
 
 echo "== FET precision=exact =="

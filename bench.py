@@ -308,6 +308,43 @@ def main() -> None:
         int(np.count_nonzero(ca)) / approx_s, 1
     )
     extras["css_approx_speedup_vs_mc"] = round(css_s / approx_s, 1)
+
+    if cpu_fallback:
+        # On a CPU host the production MC evaluator is the threaded
+        # native backend (native/mc_native.cpp — same stream, same
+        # estimator, per-window early exit).  Time it on the FULL CSS
+        # workload, the exact workload behind the reference-C 64-thread
+        # number (baseline/run_baseline.py), for a like-for-like row.
+        from divergence_tpu.native import native_available
+
+        if native_available():
+            npos_f, region_f = 10_000, 500_000
+            fpos, famat, fbmat = make_chromosome(
+                npos_f, region_f, asize, bsize, 11
+            )
+            fpair = SnpPair(positions=fpos, avals=famat, bvals=fbmat)
+            nat_cfg = CssConfig(precision="fast", perm_backend="native")
+            nsum = RunSummary()
+            t0 = time.perf_counter()
+            ns, _ = run_css(fpair, region_f, nat_cfg, summary=nsum)
+            nat_s = time.perf_counter() - t0
+            nmc = nsum.counters.get("mc_permutations", 0)
+            extras["css_native_perms_per_sec"] = round(nmc / nat_s, 1)
+            msg = (
+                f"[bench] css native (full workload): {nat_s:.2f}s, "
+                f"{nmc / 1e6:.0f}M perms ({nmc / nat_s / 1e6:.1f}M perms/s)"
+            )
+            if ref_c:
+                perm_rate = ref_c.get("css_thread", {}).get(
+                    "approx_perms_per_s"
+                )
+                if perm_rate:
+                    extras["vs_ref_c_css_native"] = round(
+                        nmc / nat_s / perm_rate, 2
+                    )
+                    msg += f"  vs_ref_c={nmc / nat_s / perm_rate:.2f}x"
+            print(msg, file=sys.stderr)
+
     if ref_c:
         perm_rate = ref_c.get("css_thread", {}).get("approx_perms_per_s")
         if perm_rate:

@@ -142,7 +142,10 @@ class CssConfig:
     # threefry streams (batch/shard/partition-invariant p-values);
     # "pallas" = fused on-core-PRNG kernel
     # (kernels/pallas/perm_pallas.py) — benchmark alternative, streams
-    # keyed per batch+chunk (p_mode="mc" only).
+    # keyed per batch+chunk (p_mode="mc" only); "native" = threaded C++
+    # host evaluator with per-window early exit (native/mc_native.cpp) —
+    # replays the same stream, the CPU-host answer to the reference's
+    # pthread pool (falls back to "xla" without a toolchain).
     perm_backend: str = "xla"
 
     # Permutation draw stream for the xla backend: "mix" = threefry-keyed
@@ -170,8 +173,14 @@ class CssConfig:
             raise ValueError("precision must be 'exact' or 'fast'")
         if self.p_mode not in ("mc", "approx"):
             raise ValueError("p_mode must be 'mc' or 'approx'")
-        if self.perm_backend not in ("xla", "pallas"):
-            raise ValueError("perm_backend must be 'xla' or 'pallas'")
+        if self.perm_backend not in ("xla", "pallas", "native"):
+            raise ValueError(
+                "perm_backend must be 'xla', 'pallas', or 'native'"
+            )
+        if self.perm_backend == "native" and self.rng != "mix":
+            raise ValueError(
+                "perm_backend='native' replays the 'mix' stream only"
+            )
         if self.rng not in ("mix", "threefry"):
             raise ValueError("rng must be 'mix' or 'threefry'")
         if self.perm_form not in ("broadcast", "matmul"):

@@ -644,6 +644,33 @@ def significance(
     if chroms is None:
         chroms = np.zeros(B, dtype=np.int64)
 
+    if backend == "native":
+        # Threaded C++ evaluator with per-window early exit
+        # (native/mc_native.cpp): replays the same fold_in(seed, chrom,
+        # slot, chunk) mix stream scalar-wise on the host — the CPU
+        # counterpart of the reference's pthread pool
+        # (threadcss.c:52-109).  Scores accumulate in f64 vs the XLA
+        # backend's f32 reduction (docs/PARITY.md).
+        if bitgen != "mix":
+            raise ValueError(
+                "perm_backend='native' replays the 'mix' stream only"
+            )
+        from divergence_tpu import native as _nat
+
+        chroms_d = jnp.asarray(np.asarray(chroms, dtype=np.int64))
+        slots_d = jnp.asarray(np.asarray(slots, dtype=np.int64))
+        wk = jax.device_get(
+            jax.random.key_data(window_keys(key, chroms_d, slots_d))
+        )
+        out = _nat.mc_native(
+            np.asarray(dist), np.asarray(scores), np.asarray(wk),
+            asize, chunk, runs, threshold,
+        )
+        if out is not None:
+            pv, n, h = out
+            return McResult(pvals=pv, nscores=n, hits=h)
+        backend = "xla"  # toolchain unavailable: same stream, same result
+
     # Two-stage compaction: stage 1 gives every window ~stage1_perms
     # permutations (enough for any non-significant window to hit the
     # threshold); the surviving (significant) windows are compacted into

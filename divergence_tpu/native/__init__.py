@@ -20,6 +20,7 @@ import numpy as np
 _HERE = Path(__file__).parent
 _SRC = _HERE / "gtrack_parser.cpp"
 _SRC_VCF = _HERE / "vcf_convert.cpp"
+_SRC_MC = _HERE / "mc_native.cpp"
 _LIB = _HERE / "_gtrack_parser.so"
 _lock = threading.Lock()
 _lib: ctypes.CDLL | None = None
@@ -41,28 +42,26 @@ class _GtrackResult(ctypes.Structure):
 
 
 def _build() -> bool:
-    """Compile the parser; returns True on success."""
-    try:
-        subprocess.run(
-            [
-                "g++",
-                "-O3",
-                "-std=c++17",
-                "-shared",
-                "-fPIC",
-                "-pthread",
-                str(_SRC),
-                str(_SRC_VCF),
-                "-o",
-                str(_LIB),
-            ],
-            check=True,
-            capture_output=True,
-            timeout=120,
-        )
-        return True
-    except (OSError, subprocess.SubprocessError):
-        return False
+    """Compile the native runtime; returns True on success.
+
+    Built on first use on the machine that runs it, so -march=native is
+    safe (the MC evaluator's sorting network vectorizes across
+    permutations only with the host's SIMD width); retried without the
+    flag for toolchains that reject it."""
+    base = ["g++", "-O3", "-std=c++17", "-shared", "-fPIC", "-pthread"]
+    srcs = [str(_SRC), str(_SRC_VCF), str(_SRC_MC), "-o", str(_LIB)]
+    for flags in (["-march=native", "-funroll-loops"], []):
+        try:
+            subprocess.run(
+                base + flags + srcs,
+                check=True,
+                capture_output=True,
+                timeout=120,
+            )
+            return True
+        except (OSError, subprocess.SubprocessError):
+            continue
+    return False
 
 
 def _load() -> ctypes.CDLL | None:
@@ -76,7 +75,9 @@ def _load() -> ctypes.CDLL | None:
             _build_failed = True
             return None
         needs_build = not _LIB.exists() or _LIB.stat().st_mtime < max(
-            _SRC.stat().st_mtime, _SRC_VCF.stat().st_mtime
+            _SRC.stat().st_mtime,
+            _SRC_VCF.stat().st_mtime,
+            _SRC_MC.stat().st_mtime,
         )
         if needs_build and not _build():
             _build_failed = True
@@ -104,6 +105,27 @@ def _load() -> ctypes.CDLL | None:
             ctypes.c_int,
         ]
         lib.vcf_convert.restype = ctypes.c_longlong
+        _u32p = ctypes.POINTER(ctypes.c_uint32)
+        lib.tf2x32_fold.argtypes = [
+            ctypes.c_uint32, ctypes.c_uint32, ctypes.c_uint32, _u32p
+        ]
+        lib.tf2x32_fold.restype = None
+        lib.mc_native.argtypes = [
+            ctypes.POINTER(ctypes.c_float),    # dist [B, m, m]
+            ctypes.POINTER(ctypes.c_float),    # scores [B]
+            _u32p,                             # wkeys [B, 2]
+            ctypes.c_int64,                    # B
+            ctypes.c_int32,                    # m
+            ctypes.c_int32,                    # asize
+            ctypes.c_int32,                    # chunk
+            ctypes.c_int64,                    # runs
+            ctypes.c_int32,                    # threshold
+            ctypes.c_int32,                    # n_threads
+            ctypes.POINTER(ctypes.c_double),   # pvals out
+            ctypes.POINTER(ctypes.c_int64),    # nscores out
+            ctypes.POINTER(ctypes.c_int64),    # hits out
+        ]
+        lib.mc_native.restype = None
         _lib = lib
         return lib
 
@@ -193,6 +215,63 @@ def vcf_convert_native(
         return None
     text = found.value.decode()
     return [n for n in text.split("\n") if n]
+
+
+def fold_in_native(k0: int, k1: int, data: int) -> tuple[int, int] | None:
+    """jax.random.fold_in on raw key words — the stream-parity test hook
+    for the C++ Threefry-2x32 (mc_native.cpp)."""
+    lib = _load()
+    if lib is None:
+        return None
+    out = (ctypes.c_uint32 * 2)()
+    lib.tf2x32_fold(k0, k1, data, out)
+    return int(out[0]), int(out[1])
+
+
+def mc_native(
+    dist: np.ndarray,       # [B, m, m]
+    scores: np.ndarray,     # [B] observed CSS
+    wkeys: np.ndarray,      # [B, 2] uint32 per-window base key words
+    asize: int,
+    chunk: int,
+    runs: int,
+    threshold: int,
+    n_threads: int = 0,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray] | None:
+    """Threaded adaptive permutation MC with per-window early exit
+    (mc_native.cpp).  Replays the fold_in(seed, chrom, slot, chunk) mix
+    stream of the XLA backend exactly; scores accumulate in f64 (the
+    XLA path reduces in f32 — see docs/PARITY.md).  Returns
+    (pvals f64, nscores i64, hits i64) or None when the native build is
+    unavailable (callers fall back to the XLA backend)."""
+    lib = _load()
+    if lib is None:
+        return None
+    B, m = dist.shape[0], dist.shape[-1]
+    distf = np.ascontiguousarray(dist, dtype=np.float32)
+    scoresf = np.ascontiguousarray(scores, dtype=np.float32)
+    keysu = np.ascontiguousarray(wkeys, dtype=np.uint32)
+    if keysu.shape != (B, 2):
+        raise ValueError(f"wkeys must be [B, 2] uint32, got {keysu.shape}")
+    pvals = np.zeros(B, dtype=np.float64)
+    nsc = np.zeros(B, dtype=np.int64)
+    hits = np.zeros(B, dtype=np.int64)
+    lib.mc_native(
+        distf.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        scoresf.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        keysu.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+        ctypes.c_int64(B),
+        ctypes.c_int32(m),
+        ctypes.c_int32(asize),
+        ctypes.c_int32(chunk),
+        ctypes.c_int64(runs),
+        ctypes.c_int32(threshold),
+        ctypes.c_int32(n_threads),
+        pvals.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        nsc.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        hits.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+    )
+    return pvals, nsc, hits
 
 
 def native_available() -> bool:

@@ -21,8 +21,10 @@ Two protocols:
 Variants: ``xla`` (mix bitgen, broadcast form — the production
 default), ``xla_threefry`` (round-1 stream), ``xla_matmul``
 (between-sum as a batched matmul via the +-1 identity), ``xla_mlast``
-(chunk axis second), ``pallas`` (fused on-core-PRNG kernel), and
-``inloop``, ``inloop_threefry``, ``inloop_matmul``, ``inloop_pallas``.
+(chunk axis second), ``pallas`` (fused on-core-PRNG kernel),
+``native`` (threaded C++ host evaluator, same stream — the CPU-host
+row), and ``inloop``, ``inloop_threefry``, ``inloop_matmul``,
+``inloop_pallas``.
 
 Timing protocol for the remote-tunnel TPU (see CLAUDE.md): work is
 only forced by a device_get, so each measurement fetches a reduced
@@ -124,6 +126,31 @@ def run_mc_bench(
             "checksum": round(float(np.sum(pv)), 2),
         }
 
+    def run_native():
+        """The threaded C++ host evaluator (native/mc_native.cpp) on the
+        saturated workload — the CPU-host row of the A/B (its perms ride
+        host cores, not the device)."""
+        from divergence_tpu import native as nat
+
+        if not nat.native_available():
+            return {"error": "native toolchain unavailable"}
+        wk = np.asarray(
+            jax.device_get(jax.random.key_data(keys)), dtype=np.uint32
+        )
+        runs = chunk * iters
+        hi = np.full(window_batch, 1e30)
+        nat.mc_native(d, hi, wk, asize, chunk, chunk, 10)  # warm/build
+        t0 = time.perf_counter()
+        pv, n, h = nat.mc_native(d, hi, wk, asize, chunk, runs, 10)
+        dt = time.perf_counter() - t0
+        return {
+            "chunk": chunk,
+            "loop_chunks": iters,
+            "wall_s": round(dt, 4),
+            "perms_per_s": round(int(n.sum()) / dt),
+            "checksum": round(float(np.sum(pv)), 2),
+        }
+
     results = {
         "backend": jax.default_backend(),
         "window_batch": window_batch,
@@ -131,6 +158,9 @@ def run_mc_bench(
     }
     for name in backends:
         try:
+            if name == "native":
+                results[name] = run_native()
+                continue
             if name.startswith("inloop"):
                 variant = name[len("inloop"):].lstrip("_") or "xla"
                 bitgen, form, backend = {

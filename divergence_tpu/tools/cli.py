@@ -472,10 +472,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--drosophila", action="store_true")
     p.add_argument(
         "--perm-backend",
-        choices=["xla", "pallas"],
+        choices=["xla", "pallas", "native"],
         default="xla",
-        help="MC chunk evaluator: xla (stream-pinned threefry) or the "
-        "fused Pallas on-core-PRNG kernel",
+        help="MC chunk evaluator: xla (stream-pinned threefry), the "
+        "fused Pallas on-core-PRNG kernel, or the threaded C++ host "
+        "evaluator (same stream, per-window early exit — for CPU hosts)",
     )
     p.add_argument(
         "--rng",
