@@ -85,6 +85,36 @@ def test_native_matches_xla_small_m():
         np.testing.assert_array_equal(r_x.nscores, r_n.nscores)
 
 
+def test_native_matches_xla_odd_shapes():
+    """Edge geometries: runs not divisible by chunk (partial last chunk),
+    chunk not a lane multiple (tail lane groups), and a large panel
+    (m=33 — a much deeper sorting network than the stickleback m=21)."""
+    cases = [
+        dict(a=11, b=10, chunk=96, runs=1000),   # tails everywhere
+        dict(a=17, b=16, chunk=64, runs=700),    # large m, partial chunk
+        dict(a=4, b=9, chunk=7, runs=100),       # tiny odd chunk
+    ]
+    for c in cases:
+        m = c["a"] + c["b"]
+        d = _dists(12, m, m)
+        rng = np.random.default_rng(m)
+        scores = rng.uniform(0.0, 0.1, 12)
+        kw = dict(
+            threshold=4,
+            runs=c["runs"],
+            key=jax.random.PRNGKey(9),
+            chunk=c["chunk"],
+        )
+        r_x = kperm.significance(d, scores, c["a"], c["b"], **kw)
+        r_n = kperm.significance(
+            d, scores, c["a"], c["b"], backend="native", **kw
+        )
+        np.testing.assert_array_equal(r_x.pvals, r_n.pvals, err_msg=str(c))
+        np.testing.assert_array_equal(
+            r_x.nscores, r_n.nscores, err_msg=str(c)
+        )
+
+
 def test_native_estimator_limits():
     """Reference estimator at both extremes (css.c:727-752): every
     permutation hits -> stop at the threshold-th permutation with p = 1;
