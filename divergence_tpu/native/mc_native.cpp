@@ -40,6 +40,7 @@
 #include <algorithm>
 #include <atomic>
 #include <cstdint>
+#include <map>
 #include <mutex>
 #include <thread>
 #include <utility>
@@ -73,11 +74,13 @@ std::vector<std::pair<int, int>> make_network(int n) {
 
 const std::vector<std::pair<int, int>>& network_for(int n) {
     static std::mutex mu;
-    static std::vector<std::vector<std::pair<int, int>>> cache;
+    // node-based map: references stay valid across insertions (a
+    // concurrent mc_native call with a different n must not dangle them)
+    static std::map<int, std::vector<std::pair<int, int>>> cache;
     std::lock_guard<std::mutex> g(mu);
-    if ((int)cache.size() <= n) cache.resize(n + 1);
-    if (cache[n].empty() && n > 1) cache[n] = make_network(n);
-    return cache[n];
+    auto& net = cache[n];
+    if (net.empty() && n > 1) net = make_network(n);
+    return net;
 }
 
 // Threefry-2x32, 20 rounds — bit-identical to jax/_src/prng.py
