@@ -156,6 +156,31 @@ def test_cli_sharded_matches_unsharded(toy_vcf):
     assert base == sharded
 
 
+def test_cli_native_backend_matches_xla(toy_vcf):
+    """--perm-backend native writes a byte-identical CSS track (same
+    fold_in-pinned stream, native/mc_native.cpp); skips without g++."""
+    from divergence_tpu.native import native_available
+
+    if not native_available():
+        pytest.skip("native toolchain unavailable")
+    tmp, vcf, sizes, anames, bnames = toy_vcf
+    cli_main(
+        [
+            "run-css",
+            "--pop-a", str(tmp / "popA.gtrack"),
+            "--pop-b", str(tmp / "popB.gtrack"),
+            "--out", str(tmp / "css_native.track"),
+            "--chrom-sizes", str(sizes),
+            "--mc-runs", "2000",
+            "--mc-chunk", "512",
+            "--perm-backend", "native",
+        ]
+    )
+    assert (tmp / "css.track").read_text() == (
+        tmp / "css_native.track"
+    ).read_text()
+
+
 def test_cli_multihost_partition(toy_vcf):
     tmp, vcf, sizes, anames, bnames = toy_vcf
     # single chromosome, 2 hosts: host 0 gets it, host 1 writes empty track
