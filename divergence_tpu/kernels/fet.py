@@ -248,6 +248,21 @@ def fet_window_batch(
     return _aggregate(logs, npos, perc, key, nsamples, dtype)
 
 
+def _steps_max(P: int, perc: float, dtype) -> int:
+    """Upper bound on the Renyi steps t1 = (n-1) - idx(n) over every
+    window size n <= P, computed with the SAME dtype arithmetic as
+    :func:`_interp_ranks`.  A float32-rounded (n-1)*perc can floor one
+    BELOW the Python-float value (e.g. 75 * float32(0.84) -> 62.9999),
+    and an undersized loop would silently leave U_(k1) at 1.0, pinning
+    every bootstrap replicate's order statistic to the window maximum.
+    numpy and XLA both round the single multiply per IEEE-754, so the
+    host-side mirror is exact."""
+    np_dtype = np.float32 if dtype == jnp.float32 else np.float64
+    n1 = np.arange(P, dtype=np_dtype)              # n - 1 for n = 1..P
+    idx = np.floor(n1 * np_dtype(perc))
+    return int(np.max(n1 - idx))
+
+
 def _order_stat_uniforms(
     key: jax.Array,
     nf: jnp.ndarray,      # [B, 1] true SNP counts as dtype
@@ -266,18 +281,22 @@ def _order_stat_uniforms(
 
     Step j of the recursion produces U_(n-j); the per-window targets are
     captured with masks, so one fixed-length loop serves a whole bucket
-    of varying n."""
+    of varying n.  Each step draws its own [B, nsamples] uniform slice
+    from ``fold_in(key, j)`` — live memory stays O(B * nsamples)
+    regardless of ``steps_max`` (a low percentile makes steps_max scale
+    as (1-perc)*P; one materialized [B, nsamples, steps_max+1] tensor
+    was hundreds of MB at perc=0.25, P=4096)."""
     B = nf.shape[0]
-    v = jax.random.uniform(
-        key, (B, nsamples, steps_max + 1), dtype=dtype
-    )
     t1b = jnp.broadcast_to(t1, (B, nsamples))
     t2b = jnp.broadcast_to(t2, (B, nsamples))
 
     def body(j, carry):
         u, u1, u2 = carry
         jf = jnp.asarray(j, dtype)
-        factor = v[:, :, j] ** (1.0 / jnp.maximum(nf - jf, 1.0))
+        v_j = jax.random.uniform(
+            jax.random.fold_in(key, j), (B, nsamples), dtype=dtype
+        )
+        factor = v_j ** (1.0 / jnp.maximum(nf - jf, 1.0))
         u = jnp.where(jf <= t1b, u * factor, u)
         u2 = jnp.where(jf == t2b, u, u2)
         u1 = jnp.where(jf == t1b, u, u1)
@@ -324,7 +343,7 @@ def _aggregate(
     # capture mask never fires and valid_w zeroes the result)
     t1 = jnp.maximum(nf - 1.0 - idx_f, 0.0)
     t2 = nf - 1.0 - hi_f
-    steps_max = int(P - 1 - int((P - 1) * perc))
+    steps_max = _steps_max(P, perc, dtype)
     u1, u2 = _order_stat_uniforms(
         key, nf, t1, t2, nsamples, steps_max, dtype
     )

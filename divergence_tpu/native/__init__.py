@@ -21,7 +21,32 @@ _HERE = Path(__file__).parent
 _SRC = _HERE / "gtrack_parser.cpp"
 _SRC_VCF = _HERE / "vcf_convert.cpp"
 _SRC_MC = _HERE / "mc_native.cpp"
-_LIB = _HERE / "_gtrack_parser.so"
+
+
+def _host_cpu_tag() -> str:
+    """Short tag identifying this host's ISA extensions.
+
+    The library is compiled with -march=native, so a .so cached in the
+    package directory must not be served to a host with a different CPU
+    (shared NFS installs across a heterogeneous fleet would SIGILL).
+    Keyed on the kernel-reported feature flags; falls back to the bare
+    machine arch when /proc/cpuinfo is unavailable (macOS et al.)."""
+    import hashlib
+    import platform
+
+    ident = platform.machine()
+    try:
+        with open("/proc/cpuinfo") as fh:
+            for line in fh:
+                if line.startswith(("flags", "Features")):
+                    ident += " " + " ".join(sorted(line.split()[2:]))
+                    break
+    except OSError:
+        pass
+    return hashlib.sha1(ident.encode()).hexdigest()[:10]
+
+
+_LIB = _HERE / f"_gtrack_parser_{_host_cpu_tag()}.so"
 _lock = threading.Lock()
 _lib: ctypes.CDLL | None = None
 _build_failed = False

@@ -158,25 +158,31 @@ def test_cli_sharded_matches_unsharded(toy_vcf):
 
 def test_cli_native_backend_matches_xla(toy_vcf):
     """--perm-backend native writes a byte-identical CSS track (same
-    fold_in-pinned stream, native/mc_native.cpp); skips without g++."""
+    fold_in-pinned stream, native/mc_native.cpp); skips without g++.
+
+    Generates its own xla baseline so the test is order-independent."""
     from divergence_tpu.native import native_available
 
     if not native_available():
         pytest.skip("native toolchain unavailable")
     tmp, vcf, sizes, anames, bnames = toy_vcf
+    common = [
+        "run-css",
+        "--pop-a", str(tmp / "popA.gtrack"),
+        "--pop-b", str(tmp / "popB.gtrack"),
+        "--chrom-sizes", str(sizes),
+        "--mc-runs", "2000",
+        "--mc-chunk", "512",
+    ]
+    cli_main(common + ["--out", str(tmp / "css_xla_base.track")])
     cli_main(
-        [
-            "run-css",
-            "--pop-a", str(tmp / "popA.gtrack"),
-            "--pop-b", str(tmp / "popB.gtrack"),
+        common
+        + [
             "--out", str(tmp / "css_native.track"),
-            "--chrom-sizes", str(sizes),
-            "--mc-runs", "2000",
-            "--mc-chunk", "512",
             "--perm-backend", "native",
         ]
     )
-    assert (tmp / "css.track").read_text() == (
+    assert (tmp / "css_xla_base.track").read_text() == (
         tmp / "css_native.track"
     ).read_text()
 
