@@ -174,3 +174,60 @@ def test_support_size_bound(rng):
             s = orc._shift_table([f0, f1, f2, f3])
             hi = min(s[0] + s[1], s[0] + s[2])
             assert hi < maxs
+
+
+def test_steps_max_covers_kernel_dtype_ranks():
+    """Regression: the Renyi loop bound must be computed with the
+    kernel's own dtype arithmetic.  A float32 (n-1)*perc can floor one
+    BELOW the Python-f64 value, so the in-kernel t1 = n-1-idx exceeds a
+    f64-derived bound, the capture mask never fires, and every bootstrap
+    replicate's order statistic pins to the window max (stddev -> 0)."""
+    percs = (0.05, 0.25, 0.29, 0.58, 0.84, 0.95, 0.999)
+    old_formula_too_small = False
+    for dtype in (jnp.float32, jnp.float64):
+        for perc in percs:
+            # fixed sizes plus every P <= 1024 where f32 rank rounding
+            # disagrees with f64 at the batch size itself (the only
+            # place the old f64-only formula could be undersized)
+            divergent = [
+                n
+                for n in range(2, 1025)
+                if int(np.floor(np.float32(n - 1) * np.float32(perc)))
+                != int((n - 1) * perc)
+            ]
+            for P in (64, 333, 1024, *divergent[:8]):
+                npos = jnp.arange(1, P + 1)
+                idx, _, _ = kfet._interp_ranks(npos, perc, dtype=dtype)
+                t1 = int(np.max(np.asarray(npos - 1 - idx)))
+                bound = kfet._steps_max(P, perc, dtype)
+                assert t1 <= bound, (float(perc), P, dtype, t1, bound)
+                old = P - 1 - int((P - 1) * perc)
+                if t1 > old:
+                    old_formula_too_small = True
+    # the sweep must include at least one case the round-1 f64-only
+    # formula got wrong, or this test guards nothing
+    assert old_formula_too_small
+
+
+def test_bootstrap_stddev_nonzero_at_f32_rounding_boundary(rng):
+    """End-to-end guard at a (npos, perc) where f32 rank rounding
+    disagrees with f64: fast-mode bootstrap stddev must not collapse."""
+    # find a window size whose f32 idx floors below the f64 idx
+    perc, n_div = 0.84, None
+    for n in range(4, 1024):
+        f32_idx = int(np.floor(np.float32(n - 1) * np.float32(perc)))
+        if f32_idx < int((n - 1) * perc):
+            n_div = n
+            break
+    assert n_div is not None
+    asize, bsize = 11, 10
+    aw = rng.choice([3.0, -3.0, 0.0], size=(n_div, asize))
+    bw = rng.choice([3.0, -3.0], size=(n_div, bsize))
+    av, bv, npos = _batch_from_windows([(aw, bw)], n_div, asize, bsize)
+    maxs = kfet.support_size(asize, bsize)
+    _, std = kfet.fet_window_batch(
+        jnp.asarray(av), jnp.asarray(bv), jnp.asarray(npos),
+        perc, jax.random.key(5), 100, maxs, 2 * (asize + bsize) + 2,
+        fast=True,
+    )
+    assert float(std[0]) > 0.0
