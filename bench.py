@@ -55,20 +55,27 @@ def make_chromosome(npos: int, region: int, asize: int, bsize: int, seed: int):
 
 
 def _fet_flops(n_snps: int, maxs: int, nsamples: int, n_windows: int,
-               avg_npos: float) -> float:
+               avg_npos: float, asize: int = 11, bsize: int = 10) -> float:
     """Analytic FLOP model of the FET path — models the work the engine
     ACTUALLY performs (per-SNP tests are computed once per chromosome,
     kernels/fet.py:fet_snp_logs; windows re-gather, sort, and bootstrap).
 
-    Per DISTINCT SNP: whole-hypergeometric-support scan (<= maxs
-    points), ~12 flop-equivalents per point (lgamma-sum terms, exp,
-    compare-accumulate; transcendentals counted as 1).  Per window: an
-    ascending sort (~2 P log2 P compare-swaps) and nsamples
-    order-statistic bootstrap replicates (~8 ops each)."""
-    support = n_snps * maxs * 12.0
+    The support scan runs once per POSSIBLE table when the LUT path is
+    active ((asize+1)^2(bsize+1)^2 grid entries, mirrored from
+    fet_snp_logs' static condition), else once per SNP; ~12
+    flop-equivalents per support point (lgamma-sum terms, exp,
+    compare-accumulate; transcendentals counted as 1).  Per SNP: table
+    counting (4 masked compare-reduces over asize+bsize genotypes) and
+    the LUT gather.  Per window: an ascending sort (~2 P log2 P
+    compare-swaps) and nsamples order-statistic bootstrap replicates
+    (~8 ops each)."""
+    grid = (asize + 1) ** 2 * (bsize + 1) ** 2
+    support_units = grid if 2 * grid <= n_snps else n_snps
+    support = support_units * maxs * 12.0
+    count = n_snps * (asize + bsize) * 4.0 + n_snps
     sort = n_windows * avg_npos * np.log2(max(avg_npos, 2.0)) * 2.0
     bootstrap = n_windows * nsamples * 8.0
-    return support + sort + bootstrap
+    return support + count + sort + bootstrap
 
 
 def _css_mc_flops(perms: int, m: int) -> float:
@@ -195,7 +202,7 @@ def main() -> None:
 
     fet_flops = _fet_flops(
         npos, kfet.support_size(asize, bsize), cfg.bootstrap_samples,
-        n_windows, avg_npos,
+        n_windows, avg_npos, asize, bsize,
     )
     fet_flops_per_s = fet_flops / tpu_s
     fet_mfu = fet_flops_per_s / PEAK_FLOPS

@@ -231,3 +231,26 @@ def test_bootstrap_stddev_nonzero_at_f32_rounding_boundary(rng):
         fast=True,
     )
     assert float(std[0]) > 0.0
+
+
+def test_snp_logs_lut_path_bit_identical(rng):
+    """fet_snp_logs' table-LUT fast path (active when the possible-table
+    grid is much smaller than the chromosome) must be bit-identical to
+    the direct per-SNP support scan."""
+    asize, bsize = 3, 2
+    G = (asize + 1) ** 2 * (bsize + 1) ** 2
+    N = 4 * G  # comfortably past the 2G <= N static switch
+    av = rng.choice([3.0, -3.0, 0.0, -10000.0], size=(N, asize))
+    bv = rng.choice([3.0, -3.0, 0.0, -10000.0], size=(N, bsize))
+    maxs = kfet.support_size(asize, bsize)
+    nmax = asize + bsize + 2
+    for fast in (False, True):
+        dtype = jnp.float32 if fast else jnp.float64
+        got = kfet.fet_snp_logs(
+            jnp.asarray(av), jnp.asarray(bv), maxs, nmax, fast=fast
+        )
+        tables = kfet.count_tables(jnp.asarray(av), jnp.asarray(bv))
+        direct = -jnp.log10(
+            kfet.fet_two_tailed(tables, maxs, nmax, dtype=dtype)
+        )
+        assert (np.asarray(got) == np.asarray(direct)).all()
