@@ -82,25 +82,31 @@ def _fet_dispatch(
         c["buckets"] = c.get("buckets", 0) + len(buckets)
 
     pending = []
-    for bi, bucket in enumerate(buckets):
+    for bucket in buckets:
         Bw = len(bucket.window_ids)
         Bp = _pad_batch(Bw)
         # upload only the [B] window descriptors; the [B, P] gather index
         # matrix is built on device (60x less host->device traffic)
         lo = np.pad(bucket.lo, (0, Bp - Bw))
         npos = np.pad(bucket.npos, (0, Bp - Bw))
+        # padding slots repeat slot 0 — harmless, their npos=0 rows are
+        # zeroed by the kernel and never scattered back
+        slot = np.pad(bucket.slot, (0, Bp - Bw))
         lo_d = jnp.asarray(lo)
         npos_d = jnp.asarray(npos)
+        slot_d = jnp.asarray(slot)
         if sharding is not None:
             lo_d = jax.device_put(lo_d, sharding)
             npos_d = jax.device_put(npos_d, sharding)
+            slot_d = jax.device_put(slot_d, sharding)
 
         s, d = kfet.fet_aggregate_windows(
             snp_logs,
             lo_d,
             npos_d,
+            slot_d,
             float(cfg.percentile),
-            jax.random.fold_in(key, bi),
+            key,
             nsamples=cfg.bootstrap_samples,
             P=bucket.padded_npos,
             fast=cfg.precision == "fast",

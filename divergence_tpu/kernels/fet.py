@@ -229,8 +229,9 @@ def fet_aggregate_windows(
     snp_logs: jnp.ndarray,    # [N] per-SNP -log10 p (fet_snp_logs)
     lo: jnp.ndarray,          # [B] first SNP index per window
     npos: jnp.ndarray,        # [B] true SNP count per window
+    slot: jnp.ndarray,        # [B] output slot (window genomic identity)
     perc: float,              # static percentile
-    key: jax.Array,
+    key: jax.Array,           # CHROMOSOME key; windows fold in their slot
     nsamples: int,
     P: int,                   # static padded SNP count
     fast: bool = False,
@@ -240,7 +241,8 @@ def fet_aggregate_windows(
     offs = jnp.arange(P, dtype=lo.dtype)[None, :]
     idx = jnp.where(offs < npos[:, None], lo[:, None] + offs, 0)
     logs = jnp.take(snp_logs, idx, axis=0)       # [B, P]
-    return _aggregate(logs, npos, float(perc), key, nsamples, dtype)
+    wkeys = window_keys(key, slot)
+    return _aggregate(logs, npos, float(perc), wkeys, nsamples, dtype)
 
 
 @functools.partial(
@@ -256,6 +258,7 @@ def fet_window_batch(
     maxs: int,
     nmax: int,
     fast: bool = False,       # float32 compute (config precision="fast")
+    slot: jnp.ndarray | None = None,  # [B] window slots (default arange)
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """FET scores + bootstrap stddev for one padded bucket of windows.
 
@@ -264,7 +267,7 @@ def fet_window_batch(
     production path splits this into :func:`fet_snp_logs` (per
     chromosome) + :func:`fet_aggregate_windows` (per bucket) to exploit
     window overlap; both paths share :func:`_aggregate` and produce
-    bit-identical results for the same inputs and key.
+    bit-identical results for the same inputs, key, and slots.
 
     Padding rows (snp index >= npos) never influence the result: their
     scores are pinned to -inf, which sorts to the front of the ascending
@@ -273,7 +276,10 @@ def fet_window_batch(
     tables = count_tables(avals, bvals)          # [B, P, 4]
     pvals = fet_two_tailed(tables, maxs, nmax, dtype=dtype)   # [B, P]
     logs = -jnp.log10(pvals)
-    return _aggregate(logs, npos, perc, key, nsamples, dtype)
+    if slot is None:
+        slot = jnp.arange(npos.shape[0])
+    wkeys = window_keys(key, slot)
+    return _aggregate(logs, npos, perc, wkeys, nsamples, dtype)
 
 
 def _steps_max(P: int, perc: float, dtype) -> int:
@@ -292,7 +298,7 @@ def _steps_max(P: int, perc: float, dtype) -> int:
 
 
 def _order_stat_uniforms(
-    key: jax.Array,
+    wkeys: jax.Array,     # [B] per-window PRNG keys (slot-derived)
     nf: jnp.ndarray,      # [B, 1] true SNP counts as dtype
     t1: jnp.ndarray,      # [B, 1] steps to U_(k1): n - k1
     t2: jnp.ndarray,      # [B, 1] steps to U_(k2): n - k2 (<= t1)
@@ -310,20 +316,27 @@ def _order_stat_uniforms(
     Step j of the recursion produces U_(n-j); the per-window targets are
     captured with masks, so one fixed-length loop serves a whole bucket
     of varying n.  Each step draws its own [B, nsamples] uniform slice
-    from ``fold_in(key, j)`` — live memory stays O(B * nsamples)
+    from ``fold_in(wkey_b, j)`` — live memory stays O(B * nsamples)
     regardless of ``steps_max`` (a low percentile makes steps_max scale
     as (1-perc)*P; one materialized [B, nsamples, steps_max+1] tensor
-    was hundreds of MB at perc=0.25, P=4096)."""
+    was hundreds of MB at perc=0.25, P=4096).  Keys are PER WINDOW
+    (slot-derived, see :func:`window_keys`), so every window's bootstrap
+    stream is a pure function of its genomic identity — stddev is
+    bit-identical under any batching/bucketing/sharding."""
     B = nf.shape[0]
     t1b = jnp.broadcast_to(t1, (B, nsamples))
     t2b = jnp.broadcast_to(t2, (B, nsamples))
+    draw = jax.vmap(
+        lambda k, j: jax.random.uniform(
+            jax.random.fold_in(k, j), (nsamples,), dtype=dtype
+        ),
+        in_axes=(0, None),
+    )
 
     def body(j, carry):
         u, u1, u2 = carry
         jf = jnp.asarray(j, dtype)
-        v_j = jax.random.uniform(
-            jax.random.fold_in(key, j), (B, nsamples), dtype=dtype
-        )
+        v_j = draw(wkeys, j)                     # [B, nsamples]
         factor = v_j ** (1.0 / jnp.maximum(nf - jf, 1.0))
         u = jnp.where(jf <= t1b, u * factor, u)
         u2 = jnp.where(jf == t2b, u, u2)
@@ -337,11 +350,22 @@ def _order_stat_uniforms(
     return u1, u2
 
 
+def window_keys(key: jax.Array, slot: jnp.ndarray) -> jax.Array:
+    """Per-window bootstrap PRNG keys: ``fold_in(chromosome_key, slot)``.
+
+    The slot (= window_start // wstep, the window's output index) is a
+    pure function of the window's genomic position, so the bootstrap
+    stream — like every other stochastic stream in the framework — is
+    invariant under batching, bucket splits, sharding, ``--resume``,
+    and host partitioning (docs/PARITY.md "Stream identity")."""
+    return jax.vmap(jax.random.fold_in, in_axes=(None, 0))(key, slot)
+
+
 def _aggregate(
     logs: jnp.ndarray,        # [B, P] per-(window, SNP) -log10 p
     npos: jnp.ndarray,        # [B]
     perc: float,              # static
-    key: jax.Array,
+    wkeys: jax.Array,         # [B] per-window keys (window_keys)
     nsamples: int,
     dtype,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
@@ -373,7 +397,7 @@ def _aggregate(
     t2 = nf - 1.0 - hi_f
     steps_max = _steps_max(P, perc, dtype)
     u1, u2 = _order_stat_uniforms(
-        key, nf, t1, t2, nsamples, steps_max, dtype
+        wkeys, nf, t1, t2, nsamples, steps_max, dtype
     )
 
     def rank_of(u):

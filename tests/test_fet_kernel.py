@@ -254,3 +254,29 @@ def test_snp_logs_lut_path_bit_identical(rng):
             kfet.fet_two_tailed(tables, maxs, nmax, dtype=dtype)
         )
         assert (np.asarray(got) == np.asarray(direct)).all()
+
+
+def test_bootstrap_stddev_batching_invariant(rng):
+    """The bootstrap stream is slot-pinned (window_keys): evaluating a
+    set of windows as ONE batch or as arbitrary sub-batches must give
+    bit-identical stddev (docs/PARITY.md "Stream identity")."""
+    N, B, P = 512, 24, 32
+    snp_logs = jnp.asarray(rng.exponential(size=N))
+    lo = rng.integers(0, N - P, size=B)
+    npos = rng.integers(1, P + 1, size=B)
+    slot = rng.permutation(np.arange(100, 100 + B))
+    key = jax.random.PRNGKey(13)
+
+    def agg(sel):
+        return kfet.fet_aggregate_windows(
+            snp_logs, jnp.asarray(lo[sel]), jnp.asarray(npos[sel]),
+            jnp.asarray(slot[sel]), 0.95, key, nsamples=50, P=P,
+        )
+
+    s_all, d_all = agg(np.arange(B))
+    for split in (2, 3):
+        parts = np.array_split(np.arange(B), split)
+        s_cat = np.concatenate([np.asarray(agg(p)[0]) for p in parts])
+        d_cat = np.concatenate([np.asarray(agg(p)[1]) for p in parts])
+        assert (np.asarray(s_all) == s_cat).all()
+        assert (np.asarray(d_all) == d_cat).all()
