@@ -78,18 +78,22 @@ def _css_phase1_dispatch(
     # phase 1: scores + distance matrices for every valid window;
     # dispatch all buckets asynchronously, materialize with one host sync
     pending = []
-    for bi, bucket in enumerate(buckets):
+    for bucket in buckets:
         Bw = len(bucket.window_ids)
         Bp = _pad_batch(Bw)
         lo = np.pad(bucket.lo, (0, Bp - Bw))
         npos = np.pad(bucket.npos, (0, Bp - Bw))
+        # padding slots repeat slot 0 — harmless, their npos=0 rows are
+        # invalid and never scattered back
+        slot = np.pad(bucket.slot, (0, Bp - Bw))
         lo_d = jnp.asarray(lo)
         npos_d = jnp.asarray(npos)
+        slot_d = jnp.asarray(slot)
         if sharding is not None:
             lo_d = jax.device_put(lo_d, sharding)
             npos_d = jax.device_put(npos_d, sharding)
+            slot_d = jax.device_put(slot_d, sharding)
 
-        bkey = jax.random.fold_in(key, 1000 + bi)
         if prefix is None:
             av, bv = _gather_windows(
                 avals_d, bvals_d, lo_d, npos_d, bucket.padded_npos
@@ -98,7 +102,7 @@ def _css_phase1_dispatch(
                 av,
                 bv,
                 npos_d,
-                bkey,
+                key,
                 asize=asize,
                 bsize=bsize,
                 drosophila=cfg.drosophila,
@@ -107,13 +111,14 @@ def _css_phase1_dispatch(
                 smacof_inits=cfg.smacof.n_init,
                 smacof_eps=cfg.smacof.epsilon,
                 fast=cfg.precision == "fast",
+                slot=slot_d,
             )
         else:
             s, dist, valid = kcss.css_window_batch_prefix(
                 prefix,
                 lo_d,
                 npos_d,
-                bkey,
+                key,
                 asize=asize,
                 bsize=bsize,
                 mds=int(cfg.mds),
@@ -121,6 +126,7 @@ def _css_phase1_dispatch(
                 smacof_inits=cfg.smacof.n_init,
                 smacof_eps=cfg.smacof.epsilon,
                 fast=cfg.precision == "fast",
+                slot=slot_d,
             )
         pending.append((bucket, s, dist, valid))
     return nslots, plan.num_windows, pending

@@ -28,6 +28,7 @@ import jax
 import jax.numpy as jnp
 
 from divergence_tpu.kernels.linalg import top2_eig
+from divergence_tpu.kernels.perm import slot_keys
 
 
 def dissimilarity_counts(
@@ -246,7 +247,7 @@ def smacof(
 
 def smacof_runs(
     dis: jnp.ndarray,
-    key: jax.Array,
+    wkeys: jax.Array,     # [B] per-window keys (perm.slot_keys)
     n_init: int = 4,
     max_iters: int = 300,
     epsilon: float = 1e-6,
@@ -254,9 +255,15 @@ def smacof_runs(
     """SMACOF with random restarts, best-of-N by stress (css.c:852-884).
 
     Inits are uniform [0,1) like the reference's drand48 (different,
-    deterministic stream).  ``dis``: [B, m, m] -> [B, m, 2]."""
+    deterministic stream); each window draws its inits from its OWN
+    slot-derived key, so the chosen embedding — hence the score — is
+    invariant under batching/bucketing (docs/PARITY.md "Stream
+    identity").  ``dis``: [B, m, m] -> [B, m, 2]."""
     B, m = dis.shape[0], dis.shape[-1]
-    x0 = jax.random.uniform(key, (n_init, B, m, 2), dtype=dis.dtype)
+    x0 = jax.vmap(
+        lambda k: jax.random.uniform(k, (n_init, m, 2), dtype=dis.dtype)
+    )(wkeys)                              # [B, I, m, 2]
+    x0 = jnp.moveaxis(x0, 0, 1)           # [I, B, m, 2]
     x, sig = smacof(dis[None], x0, max_iters, epsilon)   # [I, B, ...]
     best = jnp.argmin(sig, axis=0)                       # [B]
     return jnp.take_along_axis(
@@ -281,6 +288,7 @@ def css_window_batch(
     smacof_inits: int = 4,
     smacof_eps: float = 1e-6,
     fast: bool = False,    # float32 compute (config precision="fast")
+    slot: jnp.ndarray | None = None,  # [B] window slots (default arange)
 ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """CSS scores for one padded bucket of windows.
 
@@ -293,6 +301,8 @@ def css_window_batch(
     P = avals.shape[1]
     snp_mask = jnp.arange(P)[None, :] < npos[:, None]
 
+    if slot is None:
+        slot = jnp.arange(npos.shape[0])
     if drosophila:
         dis = dissimilarity_freq(avals, bvals, npos, snp_mask)
         a_sz = b_sz = 1
@@ -301,7 +311,7 @@ def css_window_batch(
         dis = dissimilarity_counts(vals, snp_mask)
         a_sz, b_sz = asize, bsize
     return _score_pipeline(
-        dis.astype(dtype), npos, key, a_sz, b_sz, mds,
+        dis.astype(dtype), npos, slot_keys(key, slot), a_sz, b_sz, mds,
         smacof_iters, smacof_inits, smacof_eps,
     )
 
@@ -322,14 +332,17 @@ def css_window_batch_prefix(
     smacof_inits: int = 4,
     smacof_eps: float = 1e-6,
     fast: bool = False,
+    slot: jnp.ndarray | None = None,  # [B] window slots (default arange)
 ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """CSS scores from chromosome prefix sums (the engine's production
     stickleback path — see :func:`dissimilarity_prefix`).  Bit-identical
     counts, hence bit-identical scores, to :func:`css_window_batch`."""
     dtype = jnp.float32 if fast else jnp.float64
     dis = dissimilarity_from_prefix(prefix, lo, npos).astype(dtype)
+    if slot is None:
+        slot = jnp.arange(npos.shape[0])
     return _score_pipeline(
-        dis, npos, key, asize, bsize, mds,
+        dis, npos, slot_keys(key, slot), asize, bsize, mds,
         smacof_iters, smacof_inits, smacof_eps,
     )
 
@@ -337,7 +350,7 @@ def css_window_batch_prefix(
 def _score_pipeline(
     dis: jnp.ndarray,      # [B, m, m] window dissimilarities (dtype set)
     npos: jnp.ndarray,
-    key: jax.Array,
+    wkeys: jax.Array,      # [B] per-window keys (perm.slot_keys)
     a_sz: int,
     b_sz: int,
     mds: int,
@@ -350,7 +363,7 @@ def _score_pipeline(
     if mds == 0:
         x = cmds(filled)
     elif mds == 1:
-        x = smacof_runs(filled, key, smacof_inits, smacof_iters, smacof_eps)
+        x = smacof_runs(filled, wkeys, smacof_inits, smacof_iters, smacof_eps)
     else:
         x0 = cmds(filled)
         x, _ = smacof(filled, x0, smacof_iters, smacof_eps)

@@ -43,6 +43,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from divergence_tpu.kernels.perm import slot_keys
+
 
 def support_size(asize: int, bsize: int) -> int:
     """Static bound on the hypergeometric support after table shifting.
@@ -241,7 +243,7 @@ def fet_aggregate_windows(
     offs = jnp.arange(P, dtype=lo.dtype)[None, :]
     idx = jnp.where(offs < npos[:, None], lo[:, None] + offs, 0)
     logs = jnp.take(snp_logs, idx, axis=0)       # [B, P]
-    wkeys = window_keys(key, slot)
+    wkeys = slot_keys(key, slot)
     return _aggregate(logs, npos, float(perc), wkeys, nsamples, dtype)
 
 
@@ -278,7 +280,7 @@ def fet_window_batch(
     logs = -jnp.log10(pvals)
     if slot is None:
         slot = jnp.arange(npos.shape[0])
-    wkeys = window_keys(key, slot)
+    wkeys = slot_keys(key, slot)
     return _aggregate(logs, npos, perc, wkeys, nsamples, dtype)
 
 
@@ -320,7 +322,7 @@ def _order_stat_uniforms(
     regardless of ``steps_max`` (a low percentile makes steps_max scale
     as (1-perc)*P; one materialized [B, nsamples, steps_max+1] tensor
     was hundreds of MB at perc=0.25, P=4096).  Keys are PER WINDOW
-    (slot-derived, see :func:`window_keys`), so every window's bootstrap
+    (slot-derived, see :func:`divergence_tpu.kernels.perm.slot_keys`), so every window's bootstrap
     stream is a pure function of its genomic identity — stddev is
     bit-identical under any batching/bucketing/sharding."""
     B = nf.shape[0]
@@ -350,22 +352,11 @@ def _order_stat_uniforms(
     return u1, u2
 
 
-def window_keys(key: jax.Array, slot: jnp.ndarray) -> jax.Array:
-    """Per-window bootstrap PRNG keys: ``fold_in(chromosome_key, slot)``.
-
-    The slot (= window_start // wstep, the window's output index) is a
-    pure function of the window's genomic position, so the bootstrap
-    stream — like every other stochastic stream in the framework — is
-    invariant under batching, bucket splits, sharding, ``--resume``,
-    and host partitioning (docs/PARITY.md "Stream identity")."""
-    return jax.vmap(jax.random.fold_in, in_axes=(None, 0))(key, slot)
-
-
 def _aggregate(
     logs: jnp.ndarray,        # [B, P] per-(window, SNP) -log10 p
     npos: jnp.ndarray,        # [B]
     perc: float,              # static
-    wkeys: jax.Array,         # [B] per-window keys (window_keys)
+    wkeys: jax.Array,         # [B] per-window keys (perm.slot_keys)
     nsamples: int,
     dtype,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:

@@ -61,6 +61,16 @@ def window_keys(key: jax.Array, chroms: jnp.ndarray, slots: jnp.ndarray):
     return jax.vmap(jax.random.fold_in)(k1, slots)
 
 
+def slot_keys(key: jax.Array, slots: jnp.ndarray) -> jax.Array:
+    """Per-window PRNG keys from a CHROMOSOME-level key: fold_in(key,
+    slot).  The slot (= window_start // wstep, the window's output
+    index) is a pure function of the window's genomic position, so any
+    stream derived this way is invariant under batching, bucket splits,
+    sharding, ``--resume``, and host partitioning (docs/PARITY.md
+    "Stream identity")."""
+    return jax.vmap(jax.random.fold_in, in_axes=(None, 0))(key, slots)
+
+
 def _mix32(x: jnp.ndarray) -> jnp.ndarray:
     """32-bit avalanche (murmur3-style finalizer, Prospector constants)."""
     x = (x ^ (x >> jnp.uint32(16))) * jnp.uint32(0x7FEB352D)

@@ -364,3 +364,31 @@ def test_cmds_smacof_refinement_vs_oracle(rng):
             continue
         assert valid[b]
         assert s[b] == pytest.approx(want, rel=1e-6, abs=1e-8)
+
+
+def test_smacof_scores_batching_invariant(rng):
+    """SMACOF restart inits are slot-pinned (perm.slot_keys): scoring a
+    set of windows as one batch or as arbitrary sub-batches must pick
+    bit-identical embeddings, hence scores (docs/PARITY.md "Stream
+    identity")."""
+    B, P, asize, bsize = 12, 32, 5, 4
+    vals, npos = _window_batch(rng, B=B, P=P, asize=asize, bsize=bsize)
+    av, bv = vals[..., :asize], vals[..., asize:]
+    slot = rng.permutation(np.arange(40, 40 + B))
+    key = jax.random.PRNGKey(21)
+
+    def score(sel):
+        s, _, valid = kcss.css_window_batch(
+            jnp.asarray(av[sel]), jnp.asarray(bv[sel]),
+            jnp.asarray(npos[sel]), key, asize=asize, bsize=bsize,
+            mds=1, smacof_iters=60, slot=jnp.asarray(slot[sel]),
+        )
+        return np.asarray(s), np.asarray(valid)
+
+    s_all, v_all = score(np.arange(B))
+    for split in (2, 3):
+        parts = np.array_split(np.arange(B), split)
+        s_cat = np.concatenate([score(p)[0] for p in parts])
+        v_cat = np.concatenate([score(p)[1] for p in parts])
+        assert (s_all == s_cat).all()
+        assert (v_all == v_cat).all()
