@@ -61,16 +61,22 @@ def _fet_flops(n_snps: int, maxs: int, nsamples: int, n_windows: int,
     kernels/fet.py:fet_snp_logs; windows re-gather, sort, and bootstrap).
 
     The support scan runs once per POSSIBLE table when the LUT path is
-    active ((asize+1)^2(bsize+1)^2 grid entries, mirrored from
-    fet_snp_logs' static condition), else once per SNP; ~12
+    active ((asize+1)^2(bsize+1)^2 grid entries), else once per SNP; ~12
     flop-equivalents per support point (lgamma-sum terms, exp,
-    compare-accumulate; transcendentals counted as 1).  Per SNP: table
-    counting (4 masked compare-reduces over asize+bsize genotypes) and
-    the LUT gather.  Per window: an ascending sort (~2 P log2 P
-    compare-swaps) and nsamples order-statistic bootstrap replicates
-    (~8 ops each)."""
+    compare-accumulate; transcendentals counted as 1).  fet_snp_logs'
+    static LUT switch compares against the PADDED chromosome length
+    (SnpPair.device_values pads the SNP axis to the next power of two,
+    min 8), so the mirror here must too — else the model charges the
+    wrong path for true counts in the band just past a power of two.
+    Per SNP: table counting (4 masked compare-reduces over asize+bsize
+    genotypes) and the LUT gather.  Per window: an ascending sort
+    (~2 P log2 P compare-swaps) and nsamples order-statistic bootstrap
+    replicates (~8 ops each)."""
     grid = (asize + 1) ** 2 * (bsize + 1) ** 2
-    support_units = grid if 2 * grid <= n_snps else n_snps
+    padded = 8
+    while padded < n_snps:
+        padded *= 2
+    support_units = grid if 2 * grid <= padded else n_snps
     support = support_units * maxs * 12.0
     count = n_snps * (asize + bsize) * 4.0 + n_snps
     sort = n_windows * avg_npos * np.log2(max(avg_npos, 2.0)) * 2.0

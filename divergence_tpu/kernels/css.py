@@ -288,7 +288,9 @@ def css_window_batch(
     smacof_inits: int = 4,
     smacof_eps: float = 1e-6,
     fast: bool = False,    # float32 compute (config precision="fast")
-    slot: jnp.ndarray | None = None,  # [B] window slots (default arange)
+    slot: jnp.ndarray | None = None,  # [B] window slots; the arange
+    # default is only stream-correct when the batch IS the complete,
+    # ordered window set — production callers pass genomic slots
 ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """CSS scores for one padded bucket of windows.
 
@@ -332,7 +334,8 @@ def css_window_batch_prefix(
     smacof_inits: int = 4,
     smacof_eps: float = 1e-6,
     fast: bool = False,
-    slot: jnp.ndarray | None = None,  # [B] window slots (default arange)
+    slot: jnp.ndarray | None = None,  # [B] window slots; arange default
+    # only stream-correct for a complete ordered window set
 ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """CSS scores from chromosome prefix sums (the engine's production
     stickleback path — see :func:`dissimilarity_prefix`).  Bit-identical

@@ -260,7 +260,10 @@ def fet_window_batch(
     maxs: int,
     nmax: int,
     fast: bool = False,       # float32 compute (config precision="fast")
-    slot: jnp.ndarray | None = None,  # [B] window slots (default arange)
+    slot: jnp.ndarray | None = None,  # [B] window slots; the arange
+    # default is only stream-correct when the batch IS the complete,
+    # ordered window set (self-contained/test use) — production callers
+    # must pass genomic slots (start // wstep), never batch positions
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """FET scores + bootstrap stddev for one padded bucket of windows.
 

@@ -53,11 +53,14 @@ def make_divergence_step(
 
     Returned callable signature::
 
-        step(av, bv, npos, key) -> dict
+        step(av, bv, npos, slot, key) -> dict
 
     with ``av``: [B, P, asize] genotype codes, ``bv``: [B, P, bsize],
-    ``npos``: [B] true SNP counts, ``key``: PRNG key (replicated).  ``B``
-    must divide evenly by the mesh size.  Outputs: per-window arrays
+    ``npos``: [B] true SNP counts, ``slot``: [B] window identities
+    (``start // wstep`` — NOT batch positions: every stochastic stream
+    is keyed off the slot so results are invariant under batching and
+    sub-batch splits, per the RNG invariant in docs/PARITY.md), ``key``:
+    PRNG key (replicated).  ``B`` must divide evenly by the mesh size.  Outputs: per-window arrays
     (sharded over the window axis) ``fet_scores``, ``fet_stddev``,
     ``css_scores``, ``css_valid``, ``mc_hits``, and replicated global
     summary scalars ``windows_evaluated``, ``score_sum`` (one fused
@@ -68,7 +71,7 @@ def make_divergence_step(
     wsh = window_sharding(mesh)
     rep = replicated(mesh)
 
-    def _step(av, bv, npos, key):
+    def _step(av, bv, npos, slot, key):
         B = av.shape[0]
         fet_s, fet_d = kfet.fet_window_batch(
             av,
@@ -79,6 +82,7 @@ def make_divergence_step(
             nsamples=nsamples,
             maxs=maxs,
             nmax=nmax,
+            slot=slot,
         )
         css_s, dist, valid = kcss.css_window_batch(
             av,
@@ -92,6 +96,7 @@ def make_divergence_step(
             smacof_iters=smacof_iters,
             smacof_inits=smacof_inits,
             smacof_eps=smacof_eps,
+            slot=slot,
         )
 
         # one fixed-shape chunk of the permutation null for every window
@@ -102,7 +107,7 @@ def make_divergence_step(
         keys = kperm.window_keys(
             jax.random.fold_in(key, 2),
             jnp.zeros((B,), dtype=jnp.int64),
-            jnp.arange(B, dtype=jnp.int64),
+            slot,
         )
         hits, _, _ = kperm.permutation_chunk(
             dist,
@@ -154,6 +159,6 @@ def make_divergence_step(
     }
     return jax.jit(
         _step,
-        in_shardings=(wsh, wsh, wsh, rep),
+        in_shardings=(wsh, wsh, wsh, wsh, rep),
         out_shardings=out_shardings,
     )

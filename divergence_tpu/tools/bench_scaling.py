@@ -53,6 +53,7 @@ def _time_step(step, sh, av, bv, nposs, repeats):
         jax.device_put(jnp.asarray(av), sh),
         jax.device_put(jnp.asarray(bv), sh),
         jax.device_put(jnp.asarray(nposs), sh),
+        jax.device_put(jnp.arange(len(nposs)), sh),  # window slots
         jax.random.PRNGKey(0),
     )
 

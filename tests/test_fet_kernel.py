@@ -257,7 +257,7 @@ def test_snp_logs_lut_path_bit_identical(rng):
 
 
 def test_bootstrap_stddev_batching_invariant(rng):
-    """The bootstrap stream is slot-pinned (window_keys): evaluating a
+    """The bootstrap stream is slot-pinned (perm.slot_keys): evaluating a
     set of windows as ONE batch or as arbitrary sub-batches must give
     bit-identical stddev (docs/PARITY.md "Stream identity")."""
     N, B, P = 512, 24, 32

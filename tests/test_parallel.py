@@ -46,13 +46,16 @@ def test_pad_to_multiple():
     assert pad_to_multiple(1, 8) == 8
 
 
-def _run(mesh, av, bv, npos, **kw):
+def _run(mesh, av, bv, npos, slot=None, **kw):
     step = make_divergence_step(mesh, av.shape[-1], bv.shape[-1], **kw)
     sh = window_sharding(mesh)
+    if slot is None:
+        slot = jnp.arange(av.shape[0])
     out = step(
         jax.device_put(av, sh),
         jax.device_put(bv, sh),
         jax.device_put(npos, sh),
+        jax.device_put(slot, sh),
         jax.random.PRNGKey(0),
     )
     return jax.tree.map(np.asarray, out)
@@ -84,6 +87,26 @@ def test_one_vs_eight_device_equivalence():
         out1["score_sum"], out8["score_sum"], rtol=1e-9
     )
     assert (out8["fet_stddev"][np.asarray(npos) > 0] >= 0).all()
+
+
+def test_step_sub_batch_invariance():
+    """Evaluating the same windows in one step call vs two half-batch
+    calls gives identical stochastic outputs: streams are slot-keyed,
+    not batch-position-keyed (CLAUDE.md RNG invariant)."""
+    B, P = 16, 32
+    av, bv, npos = _batch(B, P, seed=7)
+    slot = jnp.arange(B)
+    mesh = make_mesh(8)
+    kw = dict(nsamples=4, mc_chunk=8, mds=1, smacof_iters=5,
+              smacof_inits=2)
+    full = _run(mesh, av, bv, npos, slot=slot, **kw)
+    halves = [
+        _run(mesh, av[s], bv[s], npos[s], slot=slot[s], **kw)
+        for s in (slice(0, B // 2), slice(B // 2, B))
+    ]
+    for name in ("fet_scores", "fet_stddev", "css_scores", "mc_hits"):
+        cat = np.concatenate([h[name] for h in halves])
+        np.testing.assert_array_equal(full[name], cat, err_msg=name)
 
 
 def test_sharded_matches_unsharded_kernels():
