@@ -162,6 +162,28 @@ def test_engine_sharding_path(panel):
     np.testing.assert_allclose(d0, d1, rtol=1e-12, atol=1e-12)
 
 
+def test_scaling_bench_smoke():
+    """run_scaling_bench (the bench-scaling CLI core) executes across
+    mesh sizes and reports both weak- and strong-scaling series with
+    finite efficiencies — guards the sharded-step call signature."""
+    from divergence_tpu.tools.bench_scaling import run_scaling_bench
+
+    report = run_scaling_bench(
+        max_devices=2,
+        windows_per_device=8,
+        total_windows=16,
+        npos=16,
+        nsamples=2,
+        mc_chunk=8,
+        repeats=1,
+    )
+    assert [r["devices"] for r in report["weak_scaling"]] == [1, 2]
+    assert [r["devices"] for r in report["strong_scaling"]] == [1, 2]
+    for series in ("weak_scaling", "strong_scaling"):
+        for r in report[series]:
+            assert np.isfinite(r["efficiency"]) and r["windows_per_s"] > 0
+
+
 def test_partition_chromosomes_balanced_and_deterministic():
     weights = {f"chr{i}": (i + 1) * 100 for i in range(10)}
     parts = [partition_chromosomes(weights, 4, p) for p in range(4)]
