@@ -79,6 +79,13 @@ int main(int argc, char *argv[]) {
     }
     if (argc > 5) mdsalg = atoi(argv[5]);
     if (argc > 6) drosophila = atoi(argv[6]);
+    /* CSS_TRESHOLD / CSS_RUNS: cheap-MC overrides for differential
+     * parity tests (scores are MC-independent; only p consumes runs). */
+    {
+        const char *e;
+        if ((e = getenv("CSS_TRESHOLD")) && atoi(e) > 0) treshold = atoi(e);
+        if ((e = getenv("CSS_RUNS")) && atoi(e) > 0) runs = atoi(e);
+    }
     totalpos = regend / wstep;
     scores = (double *)calloc(totalpos, sizeof(double));
     p = (double *)calloc(totalpos, sizeof(double));
@@ -96,6 +103,23 @@ int main(int argc, char *argv[]) {
 
     for (i = 0; i < totalpos; i++)
         if (scores[i] != 0) nonzero++;
+
+    /* DUMP_SCORES=<path>: per-slot scores for differential parity tests
+     * (p is MC-RNG-dependent — wall-clock seeded at css.c:112-115 — so
+     * only the deterministic score column is comparable). */
+    {
+        const char *dump = getenv("DUMP_SCORES");
+        if (dump) {
+            FILE *df = fopen(dump, "w");
+            if (!df) {
+                fprintf(stderr, "cannot open %s\n", dump);
+                return 1;
+            }
+            for (i = 0; i < totalpos; i++)
+                fprintf(df, "%d %.17g\n", i, scores[i]);
+            fclose(df);
+        }
+    }
 
     printf("WINDOWS %d\n", totalpos);
     printf("NONZERO %d\n", nonzero);

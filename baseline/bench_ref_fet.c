@@ -92,6 +92,24 @@ int main(int argc, char *argv[]) {
     for (i = 0; i < totalpos; i++)
         if (scores[i] != 0) nonzero++;
 
+    /* DUMP_SCORES=<path>: per-slot scores for differential parity tests
+     * (stddev is bootstrap-RNG-dependent — wall-clock seeded at
+     * cFisher.c:79-81 — so only the deterministic score column is
+     * comparable). */
+    {
+        const char *dump = getenv("DUMP_SCORES");
+        if (dump) {
+            FILE *df = fopen(dump, "w");
+            if (!df) {
+                fprintf(stderr, "cannot open %s\n", dump);
+                return 1;
+            }
+            for (i = 0; i < totalpos; i++)
+                fprintf(df, "%d %.17g\n", i, scores[i]);
+            fclose(df);
+        }
+    }
+
     printf("WINDOWS %d\n", totalpos);
     printf("NONZERO %d\n", nonzero);
     printf("WALL %f\n", time_ddiff(before, after));

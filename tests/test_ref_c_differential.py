@@ -1,0 +1,161 @@
+"""Differential parity against the COMPILED reference C.
+
+The strongest parity evidence available: the unmodified reference
+kernels (cFisher.c / css.c, built by baseline/build.sh) and this
+framework score the SAME GTrack pair, and the deterministic per-window
+score columns are compared slot by slot.  This closes the chain
+oracle == engine (tests/test_*_kernel.py) with reference-C == oracle,
+so every parity claim in docs/PARITY.md is anchored to the real C
+binary, not just our restatement of its semantics.
+
+Only the deterministic columns are comparable: the reference seeds its
+bootstrap/MC PRNG from the wall clock (cFisher.c:79-81, css.c:112-115),
+so FET stddev and CSS p differ by design (SURVEY.md §7 hard part 5).
+
+Skipped when gcc/the baseline build is unavailable.
+"""
+
+from __future__ import annotations
+
+import os
+import pathlib
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+REPO = pathlib.Path(__file__).resolve().parent.parent
+BASELINE = REPO / "baseline"
+sys.path.insert(0, str(REPO))
+
+from bench import make_chromosome  # noqa: E402
+
+
+@pytest.fixture(scope="module")
+def binaries():
+    fet = BASELINE / "build" / "bench_ref_fet"
+    css = BASELINE / "build" / "bench_ref_css"
+    srcs = [BASELINE / "bench_ref_fet.c", BASELINE / "bench_ref_css.c"]
+    stale = not fet.exists() or any(
+        s.stat().st_mtime > fet.stat().st_mtime for s in srcs
+    )
+    if stale:
+        r = subprocess.run(
+            ["bash", str(BASELINE / "build.sh")],
+            capture_output=True,
+            text=True,
+        )
+        if r.returncode != 0:
+            pytest.skip(f"baseline build unavailable: {r.stderr[-200:]}")
+    return fet, css
+
+
+def _write_gtrack(path, positions, mat):
+    # the layout baseline/bench_ref_*.c read: 5 header lines, then
+    # position-major seqid\tpos\tval rows (testFisher.c:190-230)
+    with open(path, "w") as f:
+        f.write("##gtrack version: 1.0\n")
+        f.write("##track type: valued points\n")
+        f.write("###seqid\tstart\tvalue\n")
+        f.write("# differential parity fixture\n")
+        f.write("#\n")
+        for k in range(positions.shape[0]):
+            p = int(positions[k])
+            for v in mat[k]:
+                f.write(f"chr1\t{p}\t{v:g}\n")
+
+
+def _run_ref(binary, fa, fb, dump, extra=(), env=None):
+    e = dict(os.environ, DUMP_SCORES=str(dump))
+    if env:
+        e.update(env)
+    r = subprocess.run(
+        [str(binary), str(fa), str(fb), "serial", *map(str, extra)],
+        capture_output=True,
+        text=True,
+        timeout=600,
+        env=e,
+    )
+    assert r.returncode == 0, r.stderr
+    rows = np.loadtxt(dump)
+    return rows[:, 1]
+
+
+@pytest.fixture(scope="module")
+def panel(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("refdiff")
+    positions, amat, bmat = make_chromosome(3000, 150_000, 11, 10, 23)
+    fa, fb = tmp / "a.gtrack", tmp / "b.gtrack"
+    _write_gtrack(fa, positions, amat)
+    _write_gtrack(fb, positions, bmat)
+    return tmp, fa, fb, positions, amat, bmat
+
+
+def _flat(positions, mat):
+    size = mat.shape[1]
+    pos = np.repeat(positions.astype(np.int64), size)
+    return pos, mat.reshape(-1).astype(np.float64)
+
+
+def test_fet_scores_match_reference_c(binaries, panel):
+    """Per-slot FET window scores: compiled cFisher.c vs oracle vs
+    engine, same slots nonzero, values equal to f64 round-off (the
+    integer-binomial recurrence vs the lgamma support scan)."""
+    from divergence_tpu.config import FetConfig, WindowConfig
+    from divergence_tpu.engine import run_fet
+    from divergence_tpu.engine.snp import SnpPair
+    from divergence_tpu.oracle import compute_fet
+
+    fet_bin, _ = binaries
+    tmp, fa, fb, positions, amat, bmat = panel
+    regend = int(positions[-1]) + 1
+
+    ref = _run_ref(fet_bin, fa, fb, tmp / "fet.dump")
+
+    apos, avals = _flat(positions, amat)
+    bpos, bvals = _flat(positions, bmat)
+    orc, _ = compute_fet(avals, bvals, apos, bpos, regend, 2500, 500)
+    assert ref.shape == orc.shape
+    np.testing.assert_array_equal(ref != 0, orc != 0)
+    np.testing.assert_allclose(ref, orc, rtol=1e-9, atol=1e-12)
+
+    pair = SnpPair(positions=positions, avals=amat, bvals=bmat)
+    cfg = FetConfig(window=WindowConfig(wsize=2500, wstep=500),
+                    bootstrap_samples=4)
+    eng, _ = run_fet(pair, regend, cfg)
+    np.testing.assert_allclose(ref, eng, rtol=1e-9, atol=1e-12)
+
+
+def test_css_scores_match_reference_c(binaries, panel):
+    """Per-slot CSS window scores (CMDS mode): compiled css.c (GSL
+    satisfied by the Jacobi shim) vs oracle vs engine.  Looser
+    tolerance than FET: three different symmetric eigensolvers on the
+    same double-centered matrix."""
+    from divergence_tpu.config import CssConfig, WindowConfig
+    from divergence_tpu.engine import run_css
+    from divergence_tpu.engine.snp import SnpPair
+    from divergence_tpu.oracle import compute_css
+
+    _, css_bin = binaries
+    tmp, fa, fb, positions, amat, bmat = panel
+    regend = int(positions[-1]) + 1
+
+    ref = _run_ref(
+        css_bin, fa, fb, tmp / "css.dump",
+        env={"CSS_TRESHOLD": "2", "CSS_RUNS": "20"},
+    )
+
+    apos, avals = _flat(positions, amat)
+    bpos, bvals = _flat(positions, bmat)
+    orc, _ = compute_css(avals, bvals, apos, bpos, regend, 2500, 500,
+                         threshold=2, runs=20)
+    assert ref.shape == orc.shape
+    np.testing.assert_array_equal(ref != 0, orc != 0)
+    np.testing.assert_allclose(ref, orc, rtol=1e-7, atol=1e-9)
+
+    pair = SnpPair(positions=positions, avals=amat, bvals=bmat)
+    cfg = CssConfig(window=WindowConfig(wsize=2500, wstep=500),
+                    mc_threshold=2, mc_runs=20)
+    eng, _ = run_css(pair, regend, cfg)
+    np.testing.assert_allclose(ref, eng, rtol=1e-7, atol=1e-9)
