@@ -63,7 +63,10 @@ def _write_gtrack(path, positions, mat):
         for k in range(positions.shape[0]):
             p = int(positions[k])
             for v in mat[k]:
-                f.write(f"chr1\t{p}\t{v:g}\n")
+                # %.17g: frequency tracks must round-trip exactly — the C
+                # binary reads this file while oracle/engine use the
+                # in-memory array
+                f.write(f"chr1\t{p}\t{v:.17g}\n")
 
 
 def _run_ref(binary, fa, fb, dump, extra=(), env=None):
@@ -127,12 +130,15 @@ def test_fet_scores_match_reference_c(binaries, panel):
     np.testing.assert_allclose(ref, eng, rtol=1e-9, atol=1e-12)
 
 
-def test_css_scores_match_reference_c(binaries, panel):
-    """Per-slot CSS window scores (CMDS mode): compiled css.c (GSL
-    satisfied by the Jacobi shim) vs oracle vs engine.  Looser
-    tolerance than FET: three different symmetric eigensolvers on the
-    same double-centered matrix."""
-    from divergence_tpu.config import CssConfig, WindowConfig
+@pytest.mark.parametrize("mds", [0, 2])
+def test_css_scores_match_reference_c(binaries, panel, mds):
+    """Per-slot CSS window scores vs compiled css.c (GSL satisfied by
+    the Jacobi shim) vs oracle vs engine, for both deterministic MDS
+    modes: 0 = CMDS, 2 = CMDS refined by SMACOF (css.c:208-218; mode 1
+    is excluded — its drand48 restarts make the C wall-clock
+    nondeterministic).  Looser tolerance than FET: three different
+    symmetric eigensolvers on the same double-centered matrix."""
+    from divergence_tpu.config import CssConfig, MdsAlgorithm, WindowConfig
     from divergence_tpu.engine import run_css
     from divergence_tpu.engine.snp import SnpPair
     from divergence_tpu.oracle import compute_css
@@ -142,20 +148,64 @@ def test_css_scores_match_reference_c(binaries, panel):
     regend = int(positions[-1]) + 1
 
     ref = _run_ref(
-        css_bin, fa, fb, tmp / "css.dump",
+        css_bin, fa, fb, tmp / f"css{mds}.dump",
+        extra=(regend, mds),
         env={"CSS_TRESHOLD": "2", "CSS_RUNS": "20"},
     )
 
     apos, avals = _flat(positions, amat)
     bpos, bvals = _flat(positions, bmat)
     orc, _ = compute_css(avals, bvals, apos, bpos, regend, 2500, 500,
-                         threshold=2, runs=20)
+                         threshold=2, runs=20, mds=mds)
     assert ref.shape == orc.shape
     np.testing.assert_array_equal(ref != 0, orc != 0)
-    np.testing.assert_allclose(ref, orc, rtol=1e-7, atol=1e-9)
+    np.testing.assert_allclose(ref, orc, rtol=1e-6, atol=1e-8)
 
     pair = SnpPair(positions=positions, avals=amat, bvals=bmat)
     cfg = CssConfig(window=WindowConfig(wsize=2500, wstep=500),
-                    mc_threshold=2, mc_runs=20)
+                    mc_threshold=2, mc_runs=20, mds=MdsAlgorithm(mds))
     eng, _ = run_css(pair, regend, cfg)
-    np.testing.assert_allclose(ref, eng, rtol=1e-7, atol=1e-9)
+    np.testing.assert_allclose(ref, eng, rtol=1e-6, atol=1e-8)
+
+
+def test_css_drosophila_scores_match_reference_c(binaries, tmp_path):
+    """Frequency-track (drosophila) mode differential: 2 pseudo-
+    individuals, dissimilarity = mean |freqA-freqB| (css.c:245-264) —
+    deterministic, so the C scores are directly comparable."""
+    from divergence_tpu.config import CssConfig, WindowConfig
+    from divergence_tpu.engine import run_css
+    from divergence_tpu.engine.snp import SnpPair
+    from divergence_tpu.oracle import compute_css
+
+    _, css_bin = binaries
+    rng = np.random.default_rng(41)
+    npos, region = 2000, 120_000
+    positions = np.sort(
+        rng.choice(np.arange(1, region), npos, replace=False)
+    )
+    famat = rng.uniform(0.0, 1.0, (npos, 1))
+    fbmat = rng.uniform(0.0, 1.0, (npos, 1))
+    fa, fb = tmp_path / "fa.gtrack", tmp_path / "fb.gtrack"
+    _write_gtrack(fa, positions, famat)
+    _write_gtrack(fb, positions, fbmat)
+    regend = int(positions[-1]) + 1
+
+    ref = _run_ref(
+        css_bin, fa, fb, tmp_path / "dros.dump",
+        extra=(regend, 0, 1),
+        env={"CSS_TRESHOLD": "2", "CSS_RUNS": "20"},
+    )
+
+    orc, _ = compute_css(
+        famat.ravel(), fbmat.ravel(), positions, positions,
+        regend, 2500, 500, threshold=2, runs=20, drosophila=True,
+    )
+    assert ref.shape == orc.shape
+    np.testing.assert_array_equal(ref != 0, orc != 0)
+    np.testing.assert_allclose(ref, orc, rtol=1e-9, atol=1e-12)
+
+    pair = SnpPair(positions=positions, avals=famat, bvals=fbmat)
+    cfg = CssConfig(window=WindowConfig(wsize=2500, wstep=500),
+                    mc_threshold=2, mc_runs=20, drosophila=True)
+    eng, _ = run_css(pair, regend, cfg)
+    np.testing.assert_allclose(ref, eng, rtol=1e-9, atol=1e-12)
