@@ -104,9 +104,10 @@ int main(int argc, char *argv[]) {
     for (i = 0; i < totalpos; i++)
         if (scores[i] != 0) nonzero++;
 
-    /* DUMP_SCORES=<path>: per-slot scores for differential parity tests
-     * (p is MC-RNG-dependent — wall-clock seeded at css.c:112-115 — so
-     * only the deterministic score column is comparable). */
+    /* DUMP_SCORES=<path>: per-slot "<i> <score> <p>" rows for
+     * differential parity tests.  The score column is deterministic
+     * (bitwise-comparable); p is MC-RNG-dependent — wall-clock seeded
+     * at css.c:112-115 — and comparable only in distribution. */
     {
         const char *dump = getenv("DUMP_SCORES");
         if (dump) {
@@ -116,7 +117,7 @@ int main(int argc, char *argv[]) {
                 return 1;
             }
             for (i = 0; i < totalpos; i++)
-                fprintf(df, "%d %.17g\n", i, scores[i]);
+                fprintf(df, "%d %.17g %.17g\n", i, scores[i], p[i]);
             fclose(df);
         }
     }

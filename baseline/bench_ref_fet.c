@@ -92,10 +92,11 @@ int main(int argc, char *argv[]) {
     for (i = 0; i < totalpos; i++)
         if (scores[i] != 0) nonzero++;
 
-    /* DUMP_SCORES=<path>: per-slot scores for differential parity tests
-     * (stddev is bootstrap-RNG-dependent — wall-clock seeded at
-     * cFisher.c:79-81 — so only the deterministic score column is
-     * comparable). */
+    /* DUMP_SCORES=<path>: per-slot "<i> <score> <stddev>" rows for
+     * differential parity tests.  The score column is deterministic
+     * (bitwise-comparable); stddev is bootstrap-RNG-dependent —
+     * wall-clock seeded at cFisher.c:79-81 — and comparable only in
+     * distribution. */
     {
         const char *dump = getenv("DUMP_SCORES");
         if (dump) {
@@ -105,7 +106,7 @@ int main(int argc, char *argv[]) {
                 return 1;
             }
             for (i = 0; i < totalpos; i++)
-                fprintf(df, "%d %.17g\n", i, scores[i]);
+                fprintf(df, "%d %.17g %.17g\n", i, scores[i], stddev[i]);
             fclose(df);
         }
     }

@@ -69,7 +69,7 @@ def _write_gtrack(path, positions, mat):
                 f.write(f"chr1\t{p}\t{v:.17g}\n")
 
 
-def _run_ref(binary, fa, fb, dump, extra=(), env=None):
+def _run_ref(binary, fa, fb, dump, extra=(), env=None, aux=False):
     e = dict(os.environ, DUMP_SCORES=str(dump))
     if env:
         e.update(env)
@@ -82,6 +82,8 @@ def _run_ref(binary, fa, fb, dump, extra=(), env=None):
     )
     assert r.returncode == 0, r.stderr
     rows = np.loadtxt(dump)
+    if aux:
+        return rows[:, 1], rows[:, 2]
     return rows[:, 1]
 
 
@@ -166,6 +168,73 @@ def test_css_scores_match_reference_c(binaries, panel, mds):
                     mc_threshold=2, mc_runs=20, mds=MdsAlgorithm(mds))
     eng, _ = run_css(pair, regend, cfg)
     np.testing.assert_allclose(ref, eng, rtol=1e-6, atol=1e-8)
+
+
+def test_css_pvalues_match_reference_c_distribution(binaries, panel):
+    """CSS MC p-values vs the compiled C, distributionally: with the
+    early-stop threshold above the runs cap both sides evaluate exactly
+    `runs` permutations per scored window, so each p is
+    (hits+1)/(runs+1) with binomial sd sqrt(p(1-p)/runs).  Independent
+    RNG streams (the C is wall-clock seeded) must agree within combined
+    sampling error."""
+    from divergence_tpu.config import CssConfig, WindowConfig
+    from divergence_tpu.engine import run_css
+    from divergence_tpu.engine.snp import SnpPair
+    from divergence_tpu.oracle import compute_css  # noqa: F401
+
+    _, css_bin = binaries
+    tmp, fa, fb, positions, amat, bmat = panel
+    regend = int(positions[-1]) + 1
+    runs = 2000
+
+    ref_s, ref_p = _run_ref(
+        css_bin, fa, fb, tmp / "cssp.dump",
+        extra=(regend,),
+        env={"CSS_TRESHOLD": "1000000", "CSS_RUNS": str(runs)},
+        aux=True,
+    )
+
+    pair = SnpPair(positions=positions, avals=amat, bvals=bmat)
+    cfg = CssConfig(window=WindowConfig(wsize=2500, wstep=500),
+                    mc_threshold=1_000_000, mc_runs=runs)
+    eng_s, eng_p = run_css(pair, regend, cfg)
+
+    nz = ref_s != 0
+    assert nz.sum() > 50
+    pbar = np.clip((ref_p[nz] + eng_p[nz]) / 2, 1.0 / runs, 1.0)
+    bound = 6.0 * np.sqrt(2.0 * pbar * (1 - pbar) / runs) + 2.0 / runs
+    np.testing.assert_array_less(np.abs(ref_p[nz] - eng_p[nz]), bound)
+
+
+def test_fet_stddev_matches_reference_c_distribution(binaries, panel):
+    """FET bootstrap stddev vs the compiled C, distributionally: both
+    estimate the sd of the window-percentile bootstrap (100 replicates,
+    nsamples hardcoded at cFisher.c:62) from independent streams —
+    ratios must be near 1 in aggregate, with generous per-window slack
+    for 100-replicate sampling noise on discrete percentile atoms."""
+    from divergence_tpu.config import FetConfig, WindowConfig
+    from divergence_tpu.engine import run_fet
+    from divergence_tpu.engine.snp import SnpPair
+
+    fet_bin, _ = binaries
+    tmp, fa, fb, positions, amat, bmat = panel
+    regend = int(positions[-1]) + 1
+
+    ref_s, ref_d = _run_ref(fet_bin, fa, fb, tmp / "fetd.dump", aux=True)
+
+    pair = SnpPair(positions=positions, avals=amat, bvals=bmat)
+    cfg = FetConfig(window=WindowConfig(wsize=2500, wstep=500),
+                    bootstrap_samples=100)
+    eng_s, eng_d = run_fet(pair, regend, cfg)
+
+    sel = (ref_s != 0) & (np.maximum(ref_d, eng_d) > 0.05)
+    assert sel.sum() > 50
+    ratio = ref_d[sel] / eng_d[sel]
+    assert np.all((ratio > 1 / 3) & (ratio < 3)), (
+        ratio.min(), ratio.max()
+    )
+    med = float(np.median(ratio))
+    assert 0.85 < med < 1.18, med
 
 
 def test_css_drosophila_scores_match_reference_c(binaries, tmp_path):
