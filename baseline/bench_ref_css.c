@@ -80,11 +80,14 @@ int main(int argc, char *argv[]) {
     if (argc > 5) mdsalg = atoi(argv[5]);
     if (argc > 6) drosophila = atoi(argv[6]);
     /* CSS_TRESHOLD / CSS_RUNS: cheap-MC overrides for differential
-     * parity tests (scores are MC-independent; only p consumes runs). */
+     * parity tests (scores are MC-independent; only p consumes runs).
+     * WSIZE / WSTEP: window-geometry overrides, same purpose. */
     {
         const char *e;
         if ((e = getenv("CSS_TRESHOLD")) && atoi(e) > 0) treshold = atoi(e);
         if ((e = getenv("CSS_RUNS")) && atoi(e) > 0) runs = atoi(e);
+        if ((e = getenv("WSIZE")) && atoi(e) > 0) wsize = atoi(e);
+        if ((e = getenv("WSTEP")) && atoi(e) > 0) wstep = atoi(e);
     }
     totalpos = regend / wstep;
     scores = (double *)calloc(totalpos, sizeof(double));

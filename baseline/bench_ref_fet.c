@@ -60,6 +60,13 @@ int main(int argc, char *argv[]) {
     int acount, bcount, regend, totalpos, i, nonzero = 0;
     int wsize = 2500, wstep = 500;
     double perc = 0.95;
+    /* WSIZE / WSTEP: window-geometry overrides for differential parity
+     * tests (default is the reference protocol). */
+    {
+        const char *e;
+        if ((e = getenv("WSIZE")) && atoi(e) > 0) wsize = atoi(e);
+        if ((e = getenv("WSTEP")) && atoi(e) > 0) wstep = atoi(e);
+    }
     struct timeval before, after;
 
     if (argc < 4) {
