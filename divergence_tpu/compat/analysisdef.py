@@ -48,7 +48,7 @@ def config_from_analysis_def(s: str) -> FetConfig | CssConfig:
     Numeric kwargs accept the ``%g`` formatting the reference emits
     (``2500`` or ``2.5e+03``); the CSS ``func`` flag is the string
     ``"True"``/``"False"`` exactly as the adapter compares it
-    (CategoryClusterSeparationStat.py:60)."""
+    (reference statistics/CategoryClusterSeparationStat.py:60)."""
     stat, kw = parse_analysis_def(s)
     window = WindowConfig(
         wsize=int(float(kw.get("wSize", 2500))),

@@ -37,6 +37,29 @@ def pad_batch(n: int, floor: int = 8) -> int:
     return _next_pow2(n, floor)
 
 
+def upload_bucket(bucket: Bucket, sharding=None):
+    """Pad a bucket's [Bw] window descriptors to the power-of-two batch
+    and upload them as device arrays, optionally placed with the window
+    sharding (the engines' one shared pad/upload path — only the [B]
+    descriptors travel; gather index matrices are built on device).
+
+    Padding rows repeat lo/npos/slot 0 — harmless: their npos=0 marks
+    them invalid, the kernels zero them, and the engines never scatter
+    them back.  Returns (lo_d, npos_d, slot_d)."""
+    import jax
+    import jax.numpy as jnp
+
+    Bw = len(bucket.window_ids)
+    pads = (0, pad_batch(Bw) - Bw)
+    arrs = [
+        jnp.asarray(np.pad(a, pads))
+        for a in (bucket.lo, bucket.npos, bucket.slot)
+    ]
+    if sharding is not None:
+        arrs = [jax.device_put(a, sharding) for a in arrs]
+    return tuple(arrs)
+
+
 def bucketize(
     lo: np.ndarray,
     npos: np.ndarray,

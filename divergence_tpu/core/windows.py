@@ -1,8 +1,8 @@
 """Host-side sliding-window planning.
 
 The reference advances two pointers per window inside each worker thread
-(``slide_right``, reference comparative.c:49-71; driver loops css.c:117-135,
-threadcss.c:253-275).  On a static-shape machine the right design is to
+(``slide_right``, reference statistics/css/comparative.c:49-71; driver loops reference statistics/css/css.c:117-135,
+reference statistics/css/threadcss.c:253-275).  On a static-shape machine the right design is to
 precompute *all* window index ranges up front with one vectorized
 searchsorted pass, then hand dense, padded batches to the device
 (SURVEY.md §5 long-context analogue, §7.6).
@@ -22,7 +22,7 @@ class WindowPlan:
     ``lo``/``npos`` index the *unique-position* axis of the SNP matrix
     (not the flattened row axis).  ``slot`` is the output-array index
     (``start // wstep``), matching the reference's scatter
-    (threadcss.c:262)."""
+    (reference statistics/css/threadcss.c:262)."""
 
     starts: np.ndarray   # [W] window start (bp)
     lo: np.ndarray       # [W] first SNP index in window
@@ -37,7 +37,7 @@ class WindowPlan:
         return len(self.starts)
 
     def valid_mask(self) -> np.ndarray:
-        """Windows the engines evaluate: npos > 0 (css.c:123) and slot in
+        """Windows the engines evaluate: npos > 0 (reference statistics/css/css.c:123) and slot in
         range (the Python adapter truncates trailing windows whose slot
         falls outside the ``regend // wstep`` allocation)."""
         return (self.npos > 0) & (self.slot < self.nslots)
@@ -54,7 +54,7 @@ def plan_windows(
     ``positions``: [npos] unique, sorted SNP positions.
     A window [start, start+wsize] contains SNPs with
     ``start <= pos <= start + wsize`` (slide_right keeps ``pos >= start``
-    on the left and ``pos <= stop`` on the right, comparative.c:59-65).
+    on the left and ``pos <= stop`` on the right, reference statistics/css/comparative.c:59-65).
     """
     positions = np.asarray(positions)
     if regend + wstep < wsize:

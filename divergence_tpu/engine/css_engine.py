@@ -2,7 +2,7 @@
 
 Orchestrates: window plan -> npos buckets -> batched CSS kernel (scores +
 per-window distance matrices) -> chromosome-wide chunked permutation MC.
-Replaces the reference pthread pool (threadcss.c:52-109); the Monte-Carlo
+Replaces the reference pthread pool (reference statistics/css/threadcss.c:52-109); the Monte-Carlo
 runs over *all* valid windows of the chromosome at once, so its batch
 size is independent of SNP-count bucketing.
 """
@@ -15,7 +15,7 @@ import jax
 import jax.numpy as jnp
 
 from divergence_tpu.config import CssConfig
-from divergence_tpu.core.batching import bucketize, pad_batch
+from divergence_tpu.core.batching import bucketize, upload_bucket
 from divergence_tpu.engine.fet_engine import _gather_windows
 from divergence_tpu.core.windows import plan_windows
 from divergence_tpu.engine.snp import SnpPair
@@ -23,8 +23,6 @@ from divergence_tpu.kernels import css as kcss
 from divergence_tpu.kernels import perm as kperm
 from divergence_tpu.utils.summary import RunSummary
 
-
-_pad_batch = pad_batch
 
 # Memory guardrail for the prefix-sum dissimilarity path: the prefix is
 # [N+1, m, m] on device (plus a same-size cumsum operand).  Above this
@@ -53,10 +51,9 @@ def _css_phase1_dispatch(
 
     asize, bsize = pair.asize, pair.bsize
     avals_d, bvals_d = pair.device_values()
-    in_slots = plan.slot < nslots
     buckets = bucketize(
         plan.lo,
-        np.where(in_slots, plan.npos, 0),
+        np.where(plan.valid_mask(), plan.npos, 0),
         plan.slot,
         max_batch=4096,
     )
@@ -79,21 +76,7 @@ def _css_phase1_dispatch(
     # dispatch all buckets asynchronously, materialize with one host sync
     pending = []
     for bucket in buckets:
-        Bw = len(bucket.window_ids)
-        Bp = _pad_batch(Bw)
-        lo = np.pad(bucket.lo, (0, Bp - Bw))
-        npos = np.pad(bucket.npos, (0, Bp - Bw))
-        # padding slots repeat slot 0 — harmless, their npos=0 rows are
-        # invalid and never scattered back
-        slot = np.pad(bucket.slot, (0, Bp - Bw))
-        lo_d = jnp.asarray(lo)
-        npos_d = jnp.asarray(npos)
-        slot_d = jnp.asarray(slot)
-        if sharding is not None:
-            lo_d = jax.device_put(lo_d, sharding)
-            npos_d = jax.device_put(npos_d, sharding)
-            slot_d = jax.device_put(slot_d, sharding)
-
+        lo_d, npos_d, slot_d = upload_bucket(bucket, sharding)
         if prefix is None:
             av, bv = _gather_windows(
                 avals_d, bvals_d, lo_d, npos_d, bucket.padded_npos
@@ -152,7 +135,7 @@ def _css_phase1_fetch(all_pending):
     return jax.device_get(packed)
 
 
-def _css_collect(pending, fetched, m: int, off: int):
+def _css_collect(pending, fetched, off: int):
     """Unpack one chromosome's rows: (slots, svals, dists_dev,
     n_discarded, next offset).  ``dists_dev`` is a list of
     (device_array, row_indices) picks — concatenated lazily on device by
@@ -227,7 +210,6 @@ def run_css_multi(
 
     first_pair = next(iter(pairs.values()))[0]
     asize, bsize = first_pair.asize, first_pair.bsize
-    m = 2 if cfg.drosophila else asize + bsize
 
     per_chrom = []
     planned_total = 0
@@ -253,9 +235,9 @@ def run_css_multi(
     n_discarded = 0
     for seqid, nslots, pending in per_chrom:
         slots, svals, dists, disc, off = (
-            _css_collect(pending, fetched, m, off)
+            _css_collect(pending, fetched, off)
             if pending
-            else (np.zeros(0, np.int64), np.zeros(0), np.zeros((0, m, m)), 0, off)
+            else (np.zeros(0, np.int64), np.zeros(0), [], 0, off)
         )
         n_discarded += disc
         chrom_data.append((seqid, nslots, slots, svals, dists))

@@ -2,7 +2,7 @@
 
 Orchestrates: window plan (host) -> npos buckets -> device-side window
 gather -> batched FET kernel -> dense score/stddev tracks.  Replaces the
-reference's pthread pool + mutex task counter (threadfisher.c:47-100) with
+reference's pthread pool + mutex task counter (reference statistics/fisher/threadfisher.c:47-100) with
 static even batches; with a device mesh the window axis shards over ICI
 (see divergence_tpu.parallel).
 """
@@ -17,15 +17,12 @@ import jax
 import jax.numpy as jnp
 
 from divergence_tpu.config import FetConfig
-from divergence_tpu.core.batching import bucketize, pad_batch
+from divergence_tpu.core.batching import bucketize, upload_bucket
 from divergence_tpu.core.windows import plan_windows
 from divergence_tpu.engine.snp import SnpPair
 from divergence_tpu.kernels import fet as kfet
 from divergence_tpu.kernels.perm import chrom_hash as _chrom_hash
 from divergence_tpu.utils.summary import RunSummary
-
-
-_pad_batch = pad_batch
 
 
 @functools.partial(jax.jit, static_argnames=("P",))
@@ -65,10 +62,9 @@ def _fet_dispatch(
         avals_d, bvals_d, maxs, nmax, fast=cfg.precision == "fast"
     )
 
-    in_slots = plan.slot < nslots
     buckets = bucketize(
         plan.lo,
-        np.where(in_slots, plan.npos, 0),
+        np.where(plan.valid_mask(), plan.npos, 0),
         plan.slot,
         max_batch=4096,
     )
@@ -84,22 +80,7 @@ def _fet_dispatch(
     pending = []
     for bucket in buckets:
         Bw = len(bucket.window_ids)
-        Bp = _pad_batch(Bw)
-        # upload only the [B] window descriptors; the [B, P] gather index
-        # matrix is built on device (60x less host->device traffic)
-        lo = np.pad(bucket.lo, (0, Bp - Bw))
-        npos = np.pad(bucket.npos, (0, Bp - Bw))
-        # padding slots repeat slot 0 — harmless, their npos=0 rows are
-        # zeroed by the kernel and never scattered back
-        slot = np.pad(bucket.slot, (0, Bp - Bw))
-        lo_d = jnp.asarray(lo)
-        npos_d = jnp.asarray(npos)
-        slot_d = jnp.asarray(slot)
-        if sharding is not None:
-            lo_d = jax.device_put(lo_d, sharding)
-            npos_d = jax.device_put(npos_d, sharding)
-            slot_d = jax.device_put(slot_d, sharding)
-
+        lo_d, npos_d, slot_d = upload_bucket(bucket, sharding)
         s, d = kfet.fet_aggregate_windows(
             snp_logs,
             lo_d,
@@ -159,7 +140,7 @@ def run_fet(
     chromosome identity — per-chromosome runs match the same chromosome
     inside :func:`run_fet_multi` bit-for-bit, under any host partition
     (the reference seeds per worker thread from the wall clock instead,
-    threadfisher.c:156-160)."""
+    reference statistics/fisher/threadfisher.c:156-160)."""
     cfg = cfg or FetConfig()
     key = jax.random.fold_in(
         jax.random.PRNGKey(cfg.seed), _chrom_hash(seqid)

@@ -2,7 +2,7 @@
 
 The reference keeps two flattened position-major arrays per group and
 assumes their position sets are identical (the kernels index group B's
-window with group A's SNP count, cFisher.c:85-92).  Here the alignment is
+window with group A's SNP count, reference statistics/fisher/cFisher.c:85-92).  Here the alignment is
 *verified* at construction and the matrices are kept 2-D.
 """
 

@@ -31,7 +31,7 @@ class PopulationTrack:
 
     Arrays are flattened position-major exactly like the reference kernels
     expect: element ``vals[k*size + i]`` is individual ``i`` at SNP ``k``
-    (reference css.c:291, cFisher.c:212-216)."""
+    (reference statistics/css/css.c:291, reference statistics/fisher/cFisher.c:212-216)."""
 
     seqid: str
     pos: np.ndarray    # [n] int64, each position repeated `size` times
@@ -52,7 +52,7 @@ class PopulationTrack:
 
 
 def _infer_population_size(pos: np.ndarray) -> int:
-    """Run length of the first position (reference comparative.c:25-34)."""
+    """Run length of the first position (reference statistics/css/comparative.c:25-34)."""
     if len(pos) == 0:
         return 0
     n = int(np.argmax(pos != pos[0]))
@@ -66,7 +66,7 @@ def read_gtrack_points(
     """Read a GTrack valued-points file into per-chromosome tracks.
 
     Lines starting with ``#`` are headers/comments (the reference C test
-    harness skips a fixed 5-line header, testcss.c:213-219; we accept any
+    harness skips a fixed 5-line header, reference statistics/css/testcss.c:213-219; we accept any
     number of ``#`` lines anywhere).
     """
     path = Path(path)

@@ -38,7 +38,7 @@ def snp_table_to_gtrack(
     line (first line starting with ``#`` or with a non-numeric second
     column), else 0-based column offsets into the genotype columns
     (matching the reference GUI's "comma-separated list over IDs",
-    ConvertSticklebackSnpsToGtrack.py:31).
+    reference tools/ConvertSticklebackSnpsToGtrack.py:31).
     Returns the list of individual labels written."""
     ids = [str(x).strip() for x in ids]
     with open(table_path) as fh:

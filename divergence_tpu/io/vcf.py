@@ -111,7 +111,7 @@ def _convert_stream(fh: TextIO, population: list[str], out: TextIO) -> list[str]
             code = GENOTYPE_CODES.get(gt)
             if code is None:
                 # non-biallelic / half-missing calls are treated as missing;
-                # the reference would KeyError here (VCFConvert.py:83) —
+                # the reference would KeyError here (reference tools/VCFConvert.py:83) —
                 # documented deviation for robustness.
                 code = -10000
             out.write(f"{chrom}\t{pos}\t{code}\t{name}\n")

@@ -1,22 +1,22 @@
 """Batched Cluster-Separation-Score kernel (TPU-native).
 
-Replaces the reference's per-window serial pipeline (css.c:181-223) with
+Replaces the reference's per-window serial pipeline (reference statistics/css/css.c:181-223) with
 batched tensor math over all windows of a bucket at once:
 
-* dissimilarity counting (css.c:277-327) — the mismatch predicate
+* dissimilarity counting (reference statistics/css/css.c:277-327) — the mismatch predicate
   ``value product == -9`` factorizes as (v==3) x (v==-3), so the whole
   m x m pair-count matrix is two one-hot matmuls on the MXU:
   ``D = Maj^T Mnr + Mnr^T Maj`` (exact integer counts accumulated in f32);
-* fill-averages + discard rule (css.c:337-366), quirks preserved: the
+* fill-averages + discard rule (reference statistics/css/css.c:337-366), quirks preserved: the
   average divides by all m^2 cells, the zero diagonal gets filled with the
   average too, and windows with more than m*m//2 near-zero cells are
   discarded;
-* classical MDS (css.c:505-560) — double centering plus a *batched Jacobi*
+* classical MDS (reference statistics/css/css.c:505-560) — double centering plus a *batched Jacobi*
   top-2 eigensolver (kernels.linalg) instead of one GSL solve per window;
-* SMACOF (css.c:852-938) — fixed-trip-count ``lax.scan`` with per-window
+* SMACOF (reference statistics/css/css.c:852-938) — fixed-trip-count ``lax.scan`` with per-window
   convergence freezing, replicating the reference's
   ``while (k==0 || (sigma_prev - sigma > eps && k <= max_iters))`` loop;
-* CSS score (css.c:608-647) — between-group block mean minus the
+* CSS score (reference statistics/css/css.c:608-647) — between-group block mean minus the
   adjacent-chain within terms.
 """
 
@@ -57,7 +57,7 @@ def dissimilarity_prefix(vals: jnp.ndarray) -> jnp.ndarray:
 
     ``vals``: [N, m] genotype codes.  Returns [N+1, m, m] with
     ``prefix[n] = sum_{k<n} M_k`` where ``M_k[i,j] = 1`` iff individuals
-    i and j are opposite homozygotes at SNP k (the css.c:277-327
+    i and j are opposite homozygotes at SNP k (the reference statistics/css/css.c:277-327
     predicate).  A window's dissimilarity is then ONE difference
     ``prefix[lo+npos] - prefix[lo]`` — windows overlap wsize/wstep-fold,
     so this replaces the per-window [P, m] matmul contraction with
@@ -95,7 +95,7 @@ def dissimilarity_freq(
     npos: jnp.ndarray,
     snp_mask: jnp.ndarray,
 ) -> jnp.ndarray:
-    """Drosophila frequency metric (css.c:245-264): 2x2 matrix with the
+    """Drosophila frequency metric (reference statistics/css/css.c:245-264): 2x2 matrix with the
     mean absolute frequency difference off-diagonal.
 
     ``avals``/``bvals``: [B, P, 1]."""
@@ -114,7 +114,7 @@ def dissimilarity_freq(
 
 
 def fill_averages(dis: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """Average-fill + discard rule (css.c:337-366).
+    """Average-fill + discard rule (reference statistics/css/css.c:337-366).
 
     Returns (filled [B, m, m], keep [B] bool).  Quirks preserved: the
     average divides by m^2 (all cells, including the always-zero diagonal)
@@ -131,7 +131,7 @@ def fill_averages(dis: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
 
 
 def cmds(dis: jnp.ndarray) -> jnp.ndarray:
-    """Classical MDS to 2 dimensions (css.c:505-560).
+    """Classical MDS to 2 dimensions (reference statistics/css/css.c:505-560).
 
     Double-centers the squared dissimilarities (B = -1/2 J D2 J, expressed
     as row/col/grand mean subtraction) and keeps the top-2 eigenpairs;
@@ -145,7 +145,7 @@ def cmds(dis: jnp.ndarray) -> jnp.ndarray:
     vals, vecs = top2_eig(b)                     # [B, 2], [B, m, 2]
     # zero out numerical dust so a true-zero second eigenvalue doesn't
     # turn into sqrt(-1e-15) = NaN; genuinely negative eigenvalues still
-    # produce NaN exactly like the reference's sqrt (css.c:557-559).
+    # produce NaN exactly like the reference's sqrt (reference statistics/css/css.c:557-559).
     scale = jnp.maximum(jnp.abs(vals[..., :1]), 1.0)
     vals = jnp.where(
         (vals < 0) & (vals > -1e-9 * scale), 0.0, vals
@@ -154,17 +154,18 @@ def cmds(dis: jnp.ndarray) -> jnp.ndarray:
 
 
 def calc_dist(x: jnp.ndarray) -> jnp.ndarray:
-    """Pairwise Euclidean distances of the embedding (css.c:573-587).
+    """Pairwise Euclidean distances of the embedding (reference statistics/css/css.c:573-587).
     ``x``: [B, m, 2] -> [B, m, m]."""
     diff = x[..., :, None, :] - x[..., None, :, :]
     return jnp.sqrt(jnp.sum(diff * diff, axis=-1))
 
 
-def chain_weights(asize: int, bsize: int) -> jnp.ndarray:
+def chain_weights_host(asize: int, bsize: int):
     """Static [m-1] weights of the within-group adjacent-chain terms in
-    track order (css.c:627-642): 1/(a^2(a-1)) for the a-chain,
+    track order (reference statistics/css/css.c:627-642): 1/(a^2(a-1)) for the a-chain,
     1/(b^2(b-1)) for the b-chain, 0 at the group boundary and for
-    singleton groups."""
+    singleton groups.  Host-side numpy — the single source of truth,
+    also consumed as a kernel constant by kernels.pallas."""
     import numpy as np
 
     m = asize + bsize
@@ -173,13 +174,18 @@ def chain_weights(asize: int, bsize: int) -> jnp.ndarray:
         w[: asize - 1] = 1.0 / (asize * asize * (asize - 1))
     if bsize > 1:
         w[asize:] = 1.0 / (bsize * bsize * (bsize - 1))
-    return jnp.asarray(w)
+    return w
+
+
+def chain_weights(asize: int, bsize: int) -> jnp.ndarray:
+    """Device form of :func:`chain_weights_host`."""
+    return jnp.asarray(chain_weights_host(asize, bsize))
 
 
 def css_from_dist(
     dist: jnp.ndarray, asize: int, bsize: int
 ) -> jnp.ndarray:
-    """CSS with identity track order (css.c:608-647).
+    """CSS with identity track order (reference statistics/css/css.c:608-647).
 
     score = mean(between-block) - (a+b) * (a-chain + b-chain)."""
     m = asize + bsize
@@ -190,7 +196,7 @@ def css_from_dist(
 
 
 def _stress(dis: jnp.ndarray, d: jnp.ndarray) -> jnp.ndarray:
-    """Raw stress over unordered pairs (css.c:767-777): the full matrix
+    """Raw stress over unordered pairs (reference statistics/css/css.c:767-777): the full matrix
     double-counts every pair, so halve it; the diagonal is zero in both."""
     diff = d - dis
     return 0.5 * jnp.sum(diff * diff, axis=(-1, -2))
@@ -199,7 +205,7 @@ def _stress(dis: jnp.ndarray, d: jnp.ndarray) -> jnp.ndarray:
 def _guttman(
     x: jnp.ndarray, d: jnp.ndarray, dis: jnp.ndarray
 ) -> jnp.ndarray:
-    """One Guttman transform (css.c:811-836): X' = B(Z) Z / m."""
+    """One Guttman transform (reference statistics/css/css.c:811-836): X' = B(Z) Z / m."""
     m = dis.shape[-1]
     off = ~jnp.eye(m, dtype=bool)
     b = jnp.where(off & (d >= 0.00001), -dis / jnp.where(d == 0, 1.0, d), 0.0)
@@ -215,7 +221,7 @@ def smacof(
     max_iters: int = 300,
     epsilon: float = 1e-6,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """Batched SMACOF (css.c:907-938).
+    """Batched SMACOF (reference statistics/css/css.c:907-938).
 
     ``dis``: [..., m, m], ``x0``: [..., m, 2].  Runs the reference's loop
     protocol — first transform unconditional, then continue while the
@@ -252,7 +258,7 @@ def smacof_runs(
     max_iters: int = 300,
     epsilon: float = 1e-6,
 ) -> jnp.ndarray:
-    """SMACOF with random restarts, best-of-N by stress (css.c:852-884).
+    """SMACOF with random restarts, best-of-N by stress (reference statistics/css/css.c:852-884).
 
     Inits are uniform [0,1) like the reference's drand48 (different,
     deterministic stream); each window draws its inits from its OWN
@@ -298,7 +304,7 @@ def css_window_batch(
     for empty windows and fill-averages discards; their score reports 0
     and their distance matrix is meaningless (callers skip them).  The
     drosophila path scores 2 pseudo-individuals on frequency tracks
-    (css.c:245-264, asize == bsize == 1)."""
+    (reference statistics/css/css.c:245-264, asize == bsize == 1)."""
     dtype = jnp.float32 if fast else jnp.float64
     P = avals.shape[1]
     snp_mask = jnp.arange(P)[None, :] < npos[:, None]

@@ -1,7 +1,7 @@
 """Batched Fisher's Exact Test kernel (TPU-native).
 
 Replaces the reference's per-SNP scalar recurrences
-(cFisher.c: fetcount :208-238, fet :405-455, fet_p :473-483,
+(reference statistics/fisher/cFisher.c: fetcount :208-238, fet :405-455, fet_p :473-483,
 percentile :136-144, calc_std :590-597) with fixed-shape vector math:
 
 * the 2x2 tables of *every* SNP of *every* window in a bucket are counted
@@ -15,7 +15,7 @@ percentile :136-144, calc_std :590-597) with fixed-shape vector math:
   zero; second tail = tables scanned from the opposite extreme inward
   while *strictly* less probable than the observed table (a suffix-AND
   instead of a sequential scan); equal row/column margins double the
-  first tail; the total clamps at 1 (cFisher.c:433-452);
+  first tail; the total clamps at 1 (reference statistics/fisher/cFisher.c:433-452);
 * the window percentile comes from one ascending sort per window;
 * the 100 bootstrap-replicate percentiles use the *order-statistic*
   identity instead of materializing resamples: the k-th order statistic
@@ -25,7 +25,7 @@ percentile :136-144, calc_std :590-597) with fixed-shape vector math:
   and exactly by the Renyi top-down recursion
   (U_(n) = V^(1/n), U_(k) = U_(k+1)·V^(1/k) — ~(1-perc)·n pow ops),
   avoiding both the reference's O(S·n log n) resample-and-sort
-  (cFisher.c:562-571, 590-597) and rejection-sampled Beta/Gamma draws
+  (reference statistics/fisher/cFisher.c:562-571, 590-597) and rejection-sampled Beta/Gamma draws
   (~150x a uniform; while_loops that serialize on TPU) — identical in
   distribution, far lighter on HBM.
 
@@ -65,7 +65,7 @@ def count_tables(avals: jnp.ndarray, bvals: jnp.ndarray) -> jnp.ndarray:
     """2x2 allele-count tables for every (window, SNP).
 
     ``avals``: [..., asize], ``bvals``: [..., bsize] genotype codes.
-    Only homozygous calls are counted (cFisher.c:208-238).
+    Only homozygous calls are counted (reference statistics/fisher/cFisher.c:208-238).
     Returns [..., 4] int32 (f0..f3)."""
     f0 = jnp.sum(avals == 3, axis=-1, dtype=jnp.int32)
     f1 = jnp.sum(avals == -3, axis=-1, dtype=jnp.int32)
@@ -76,7 +76,7 @@ def count_tables(avals: jnp.ndarray, bvals: jnp.ndarray) -> jnp.ndarray:
 
 def _shift_min_first(f: jnp.ndarray) -> jnp.ndarray:
     """Rotate each table in clockwise order so the minimum cell leads
-    (cFisher.c:327-346).  argmin == first minimum, like min_idx."""
+    (reference statistics/fisher/cFisher.c:327-346).  argmin == first minimum, like min_idx."""
     cw = jnp.stack([f[..., 0], f[..., 1], f[..., 3], f[..., 2]], axis=-1)
     idx = jnp.argmin(cw, axis=-1)
     offs = (idx[..., None] + jnp.arange(4, dtype=idx.dtype)) % 4
@@ -128,12 +128,12 @@ def fet_two_tailed(
 
     p0 = jnp.take_along_axis(p, a0[..., None].astype(jnp.int32), axis=-1)
     # first tail: every table from the observed minimum cell down to zero
-    # (cFisher.c:422-427) — unconditional, even across the mode (the
+    # (reference statistics/fisher/cFisher.c:422-427) — unconditional, even across the mode (the
     # shortcut is conservative for near-mode tables; oracle-verified).
     t1 = jnp.sum(jnp.where(x <= a0[..., None], p, 0.0), axis=-1)
 
     # second tail: scanned from the opposite extreme (x = hi) inward while
-    # not more probable than the observed table (cFisher.c:436-448).
+    # not more probable than the observed table (reference statistics/fisher/cFisher.c:436-448).
     # Probability *ties* are included — the framework's deterministic
     # tie rule (see oracle.reference.FET_TIE_RTOL); the reference's own
     # tie behavior is FP-rounding-dependent.  valid-suffix AND: a position
@@ -152,7 +152,7 @@ def fet_two_tailed(
 
 def _interp_ranks(npos: jnp.ndarray, perc: float, dtype=jnp.float64):
     """(idx, hi_idx, delta) of the reference's interpolated percentile
-    (cFisher.c:136-144): with ascending order statistics s[.],
+    (reference statistics/fisher/cFisher.c:136-144): with ascending order statistics s[.],
     result = (1-d)*s[idx] + d*s[hi_idx], idx = int((n-1)*perc),
     hi_idx = min(idx+1, n-1)."""
     nf = npos.astype(dtype)
@@ -195,8 +195,8 @@ def fet_snp_logs(
     """-log10 two-tailed FET p for EVERY SNP of a chromosome, once.
 
     Windows overlap wsize/wstep-fold (5x at reference defaults,
-    css.c:117-135), so evaluating the exact test per (window, SNP) — as
-    both the reference (cFisher.c:181) and the former bucket kernel do —
+    reference statistics/css/css.c:117-135), so evaluating the exact test per (window, SNP) — as
+    both the reference (reference statistics/fisher/cFisher.c:181) and the former bucket kernel do —
     recomputes each SNP's p up to 5x.  The engine computes this [N]
     array once per chromosome and windows gather from it
     (:func:`fet_aggregate_windows`): ~5x less support-scan compute and a
@@ -373,7 +373,7 @@ def _aggregate(
     v_hi = _sorted_pick(logs_sorted, npos, hi_idx[..., None])[..., 0]
     scores = (1.0 - delta) * v_lo + delta * v_hi
 
-    # Bootstrap stddev via order statistics (cFisher.c:562-571, 590-597
+    # Bootstrap stddev via order statistics (reference statistics/fisher/cFisher.c:562-571, 590-597
     # semantics, identical in distribution): the percentile of a
     # resample of n draws interpolates its ascending order statistics at
     # ranks k1 = idx+1 and k2 = hi_idx+1 (1-based); the joint

@@ -1,7 +1,7 @@
 """Batched small-matrix linear algebra for TPU.
 
 The CSS pipeline needs eigendecompositions of thousands of tiny (m ~ 21)
-symmetric matrices per step (reference css.c:529-541 calls GSL's symmv per
+symmetric matrices per step (reference statistics/css/css.c:529-541 calls GSL's symmv per
 window, serially).  XLA's ``eigh`` targets single large matrices; a batched
 cyclic Jacobi with a parallel round-robin ordering vectorizes over the
 batch axis instead: every round applies mp/2 disjoint rotations to the
@@ -100,7 +100,7 @@ def top2_eig(a: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Top-2 eigenpairs (descending) of a batch of symmetric matrices.
 
     Returns (vals [..., 2], vecs [..., m, 2]).  Matches the reference's
-    'keep the dims largest eigenvalues' (css.c:543-553).
+    'keep the dims largest eigenvalues' (reference statistics/css/css.c:543-553).
 
     Uses XLA's batched ``eigh`` — measured ~70x faster than the scatter-
     based round-robin Jacobi in :func:`jacobi_eigh` for thousands of

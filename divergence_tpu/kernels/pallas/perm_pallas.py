@@ -14,7 +14,7 @@ traffic is just D in (m^2 floats) and scores out (K floats):
   of p_i is a sublane-iota comparison and D[p_i, :] is one MXU dot
   D @ oh_i; the between-term accumulates sum_{i<asize} D[p_i, :] and the
   group indicator; the adjacent-chain term pairs each Di with oh_{i+1}
-  (css.c:608-647 semantics, identical math to kernels/perm._perm_scores).
+  (reference statistics/css/css.c:608-647 semantics, identical math to kernels/perm._perm_scores).
 
 Scores match the XLA path exactly for the same permutation (validated
 against the oracle via the deterministic-keys variant); the RNG stream
@@ -47,13 +47,11 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _chain_weights_np(asize: int, bsize: int) -> np.ndarray:
-    m_tot = asize + bsize
-    w = np.zeros(m_tot - 1)
-    if asize > 1:
-        w[: asize - 1] = 1.0 / (asize * asize * (asize - 1))
-    if bsize > 1:
-        w[asize:] = 1.0 / (bsize * bsize * (bsize - 1))
-    return w
+    """Host-side adjacent-chain weights — single source of truth is
+    kernels.css.chain_weights_host (reference statistics/css/css.c:627-642)."""
+    from divergence_tpu.kernels.css import chain_weights_host
+
+    return chain_weights_host(asize, bsize)
 
 
 def _score_tile(keys, d, sub, *, m, m_pad, asize, bsize, w_np):

@@ -1,7 +1,7 @@
 """Chunked permutation Monte-Carlo for CSS significance (TPU-native).
 
 The reference permutes labels one at a time per window until 10 hits or
-200k permutations (css.c:727-752) — up to 200k serial CSS re-evaluations
+200k permutations (reference statistics/css/css.c:727-752) — up to 200k serial CSS re-evaluations
 per significant window, THE dominant cost (SURVEY.md §3.2).  Here the
 whole adaptive loop runs ON DEVICE as a ``lax.while_loop`` over
 fixed-shape chunks:
@@ -12,7 +12,7 @@ fixed-shape chunks:
   no m x m matrix is ever materialized per permutation:
   between-sum = u^T D (1-u) with u the group-A indicator of the
   permutation, and the within-group *adjacent-chain* sums
-  (order-dependent!  css.c:627-641) are m-2 gathers from the flattened
+  (order-dependent!  reference statistics/css/css.c:627-641) are m-2 gathers from the flattened
   distance matrix;
 * the estimator is exactly the reference's p = (hits+1)/(n+1) with
   n = the permutation index of the threshold-th hit (located inside the
@@ -28,7 +28,7 @@ RNG design: every window owns an independent stream derived as
 function of (seed, chromosome, window slot).  P-values are therefore
 bit-identical under ANY batching, padding, device sharding, or
 multi-host chromosome partitioning (the reference's per-thread
-wall-clock seeding, threadcss.c:220-223, has no such property; SURVEY.md
+wall-clock seeding, reference statistics/css/threadcss.c:220-223, has no such property; SURVEY.md
 §5 seed semantics).
 
 Device placement: every entry point takes ``sharding=`` and places the
@@ -176,14 +176,14 @@ def _perm_scores(
     as RANKS r_j (position of individual j in the stable argsort of the
     per-permutation draws — computed by pairwise compares with
     index tie-break, NOT a sort), from which the reference CSS
-    (css.c:608-647) collapses to ONE fused broadcast-multiply-reduce
+    (reference statistics/css/css.c:608-647) collapses to ONE fused broadcast-multiply-reduce
     against D:
 
       score = sum_{j,l} D[j,l] * [ u_j (1-u_l)/(a b)
                                    - (a+b) w(r_j) 1[r_l = r_j + 1] ]
 
     with u_j = 1[r_j < a] (j lands in group A) and w(r) the per-rank
-    adjacent-chain weight (css.c:627-641 order-dependent chains).  The
+    adjacent-chain weight (reference statistics/css/css.c:627-641 order-dependent chains).  The
     earlier one-hot/matmul version materialized TWO [B, K, m, m] f32
     intermediates (Pi, Pi@D) in HBM per chunk — at m=21 that traffic,
     not FLOPs, bounded perms/s; here the broadcast terms are pure
@@ -197,7 +197,7 @@ def _perm_scores(
     pure functions of (seed, chrom, slot, chunk), preserving every
     batching/sharding-invariance property; the ESTIMATOR is
     stream-independent (the reference's wall-clock-seeded rand_r,
-    threadcss.c:220-223, promises nothing at all here).
+    reference statistics/css/threadcss.c:220-223, promises nothing at all here).
 
     Layout: the chunk axis is kept LAST ([B, m, m, K]) so the large
     (lane-multiple) axis lands on the TPU's 128-lane dimension; with
@@ -272,7 +272,7 @@ def mc_significance(
     Returns (pvals [B] f64, nscores [B] i32, hits [B] i32,
     finished [B] bool) with the reference estimator: stop a window at
     its ``threshold``-th hit (n = that permutation's 1-based index) or
-    at ``runs``; p = (hits+1)/(n+1) (css.c:727-752).  ``finished`` is
+    at ``runs``; p = (hits+1)/(n+1) (reference statistics/css/css.c:727-752).  ``finished`` is
     False only for windows cut off by ``max_chunks``.
 
     The permutation stream is chunk-indexed per window, so the loop is
@@ -659,7 +659,7 @@ def significance(
         # (native/mc_native.cpp): replays the same fold_in(seed, chrom,
         # slot, chunk) mix stream scalar-wise on the host — the CPU
         # counterpart of the reference's pthread pool
-        # (threadcss.c:52-109).  Scores accumulate in f64 vs the XLA
+        # (reference statistics/css/threadcss.c:52-109).  Scores accumulate in f64 vs the XLA
         # backend's f32 reduction (docs/PARITY.md).
         if bitgen != "mix":
             raise ValueError(

@@ -13,18 +13,18 @@ against a bit-careful CPU ground truth:
          significance_treshold :727-752, smacof :907-938,
          smacof_runs :852-884)
 * Windowing: reference statistics/css/comparative.c (slide_right :49-71)
-  and the driver loops (css.c :117-136, cFisher.c :81-99).
+  and the driver loops (reference statistics/css/css.c :117-136, reference statistics/fisher/cFisher.c :81-99).
 
 Known deliberate deviations (documented, all RNG-stream-only):
 
 * RNG: the reference seeds ``nrand48``/``drand48`` from wall-clock time
-  (css.c:112-115), so its own bootstrap/permutation/SMACOF outputs are not
+  (reference statistics/css/css.c:112-115), so its own bootstrap/permutation/SMACOF outputs are not
   reproducible run-to-run.  The oracle uses a seeded ``numpy.random
   .Generator``; deterministic quantities (FET window scores, CSS scores
   under CMDS) are bit-comparable, stochastic ones (bootstrap stddev,
   permutation p, SMACOF inits) are statistically comparable.
 * ``binomial`` overflow: the reference returns 0 on unavoidable unsigned
-  overflow (cFisher.c:268-273), corrupting p-values for huge tables.  The
+  overflow (reference statistics/fisher/cFisher.c:268-273), corrupting p-values for huge tables.  The
   oracle uses exact Python integers; for the panel sizes this code targets
   (tables with n <= a few hundred) the two agree exactly.
 """
@@ -36,7 +36,7 @@ import math
 import numpy as np
 
 # ---------------------------------------------------------------------------
-# Window planning (reference comparative.c:49-71 + driver loops)
+# Window planning (reference statistics/css/comparative.c:49-71 + driver loops)
 # ---------------------------------------------------------------------------
 
 
@@ -44,7 +44,7 @@ def window_starts(regend: int, wsize: int, wstep: int) -> np.ndarray:
     """Start positions of every evaluated sliding window.
 
     The reference loop runs ``while (start + wsize <= regend + wstep)``
-    with ``start`` stepping by ``wstep`` from 0 (css.c:117-135)."""
+    with ``start`` stepping by ``wstep`` from 0 (reference statistics/css/css.c:117-135)."""
     if regend + wstep < wsize:
         return np.zeros(0, dtype=np.int64)
     n = (regend + wstep - wsize) // wstep + 1
@@ -54,7 +54,7 @@ def window_starts(regend: int, wsize: int, wstep: int) -> np.ndarray:
 def window_bounds(pos: np.ndarray, start: int, stop: int) -> tuple[int, int]:
     """Row-index range [lo, hi) of SNP rows with start <= pos <= stop.
 
-    Matches ``slide_right`` (comparative.c:49-71): the left pointer skips
+    Matches ``slide_right`` (reference statistics/css/comparative.c:49-71): the left pointer skips
     positions < start, the right pointer includes positions <= stop."""
     lo = int(np.searchsorted(pos, start, side="left"))
     hi = int(np.searchsorted(pos, stop, side="right"))
@@ -62,7 +62,7 @@ def window_bounds(pos: np.ndarray, start: int, stop: int) -> tuple[int, int]:
 
 
 def population_size(pos: np.ndarray) -> int:
-    """Run length of the first position (comparative.c:25-34)."""
+    """Run length of the first position (reference statistics/css/comparative.c:25-34)."""
     if len(pos) == 0:
         return 0
     size = 1
@@ -77,7 +77,7 @@ def population_size(pos: np.ndarray) -> int:
 
 
 def fet_count(avals: np.ndarray, bvals: np.ndarray) -> tuple[int, int, int, int]:
-    """2x2 allele table for one SNP (cFisher.c:208-238).
+    """2x2 allele table for one SNP (reference statistics/fisher/cFisher.c:208-238).
 
     ``avals``/``bvals`` are the genotype codes of all individuals of each
     group at this SNP; only homozygous-major (3) and homozygous-minor (-3)
@@ -96,7 +96,7 @@ def _binom(n: int, k: int) -> int:
 
 
 def fet_point_prob(a: int, b: int, c: int, d: int) -> float:
-    """Hypergeometric point probability of one table (cFisher.c:473-483).
+    """Hypergeometric point probability of one table (reference statistics/fisher/cFisher.c:473-483).
 
     Computed with exact integer binomials, then one float division — the
     same rounding pattern as the reference's (non-overflowing) path."""
@@ -109,7 +109,7 @@ def fet_point_prob(a: int, b: int, c: int, d: int) -> float:
 
 def _shift_table(f: list[int]) -> list[int]:
     """Rotate the table in clockwise order so the minimum cell leads
-    (cFisher.c:327-346).  ``min`` ties resolve to the first index, like the
+    (reference statistics/fisher/cFisher.c:327-346).  ``min`` ties resolve to the first index, like the
     reference's ``min_idx``."""
     cw = [f[0], f[1], f[3], f[2]]
     idx = cw.index(min(cw))
@@ -119,7 +119,7 @@ def _shift_table(f: list[int]) -> list[int]:
 
 # Relative tolerance for probability ties on the second tail.  The
 # reference compares `P2 < P0` where P2 came through a multiplicative
-# recurrence (cFisher.c:440-448): for tables whose null distribution is
+# recurrence (reference statistics/fisher/cFisher.c:440-448): for tables whose null distribution is
 # symmetric (shifted R1' == C1') the mirrored observed table ties P0
 # *exactly* in rational arithmetic, and the reference's inclusion decision
 # is decided by accumulated FP rounding — i.e. arbitrary.  This framework
@@ -131,7 +131,7 @@ FET_TIE_RTOL = 1e-12
 
 def fet_two_tailed(f0: int, f1: int, f2: int, f3: int) -> float:
     """Two-tailed Fisher exact p via the Feldman-Klinger/Zar short cut
-    (cFisher.c:405-455), including the P > 1 clamp.
+    (reference statistics/fisher/cFisher.c:405-455), including the P > 1 clamp.
 
     Deliberate deviation: second-tail probability ties are *included*
     (see FET_TIE_RTOL above); the reference's own behavior on ties is
@@ -160,7 +160,7 @@ def fet_two_tailed(f0: int, f1: int, f2: int, f3: int) -> float:
         # second tail: from the most extreme opposite table, walk inward
         # while strictly more extreme than the observed table.  NB: the
         # reference builds the extreme from the table state left behind by
-        # the first-tail walk (f mutated in place, cFisher.c:422-436) — the
+        # the first-tail walk (f mutated in place, reference statistics/fisher/cFisher.c:422-436) — the
         # margins are the same, but the branch taken in create_table
         # depends on the walked-to cells.
         f = _create_opposite_extreme([a, b, c, d])
@@ -181,7 +181,7 @@ def fet_two_tailed(f0: int, f1: int, f2: int, f3: int) -> float:
 
 
 def _create_opposite_extreme(f: list[int]) -> list[int]:
-    """Most extreme table of the second tail (cFisher.c:357-390)."""
+    """Most extreme table of the second tail (reference statistics/fisher/cFisher.c:357-390)."""
     R1, R2 = f[0] + f[1], f[2] + f[3]
     C1, C2 = f[0] + f[2], f[1] + f[3]
     margins = [R1, R2, C1, C2]
@@ -211,7 +211,7 @@ def _create_opposite_extreme(f: list[int]) -> list[int]:
 
 
 def percentile_interp(values: np.ndarray, perc: float) -> float:
-    """Linear-interpolated percentile over a sorted copy (cFisher.c:136-144).
+    """Linear-interpolated percentile over a sorted copy (reference statistics/fisher/cFisher.c:136-144).
 
     ``idx`` truncates like the C int cast; the out-of-range ``idx+1`` read
     the C code performs when ``idx == n-1`` is multiplied by ``delta == 0``,
@@ -232,7 +232,7 @@ def window_fet(
     nsamples: int,
     rng: np.random.Generator | None = None,
 ) -> tuple[float, float, np.ndarray]:
-    """FET score + bootstrap stddev for one window (cFisher.c:170-195).
+    """FET score + bootstrap stddev for one window (reference statistics/fisher/cFisher.c:170-195).
 
     ``avals``: [npos, asize], ``bvals``: [npos, bsize] genotype codes.
     Returns (percentile score, bootstrap stddev, per-SNP -log10(p))."""
@@ -248,7 +248,7 @@ def window_fet(
     for i in range(nsamples):
         sample = logs[rng.integers(0, npos, size=npos)]
         reps[i] = percentile_interp(sample, perc)
-    # population stddev (divides by n), like cFisher.c:492-503
+    # population stddev (divides by n), like reference statistics/fisher/cFisher.c:492-503
     stddev = float(np.sqrt(np.mean((reps - reps.mean()) ** 2)))
     return score, stddev, logs
 
@@ -265,7 +265,7 @@ def compute_fet(
     nsamples: int = 100,
     seed: int = 0,
 ) -> tuple[np.ndarray, np.ndarray]:
-    """Whole-chromosome serial FET scan (cFisher.c:38-115).
+    """Whole-chromosome serial FET scan (reference statistics/fisher/cFisher.c:38-115).
 
     Inputs are the flattened position-major arrays of the reference data
     model; outputs are dense score/stddev arrays of ``regend // wstep``
@@ -302,7 +302,7 @@ def compare_all(
     avals: np.ndarray, bvals: np.ndarray
 ) -> np.ndarray:
     """Pairwise genotype-mismatch counts for all individuals
-    (css.c:277-327).
+    (reference statistics/css/css.c:277-327).
 
     A pair of individuals mismatches at a SNP iff one is homozygous major
     (3) and the other homozygous minor (-3) — i.e. the value product is -9.
@@ -316,14 +316,14 @@ def compare_all(
 
 
 def compare_freq(avals: np.ndarray, bvals: np.ndarray) -> np.ndarray:
-    """Drosophila frequency-track metric (css.c:245-264): mean absolute
+    """Drosophila frequency-track metric (reference statistics/css/css.c:245-264): mean absolute
     frequency difference, as a 2x2 dissimilarity."""
     avg = float(np.mean(np.abs(avals.ravel() - bvals.ravel())))
     return np.array([[0.0, avg], [avg, 0.0]])
 
 
 def fill_averages(dis: np.ndarray) -> np.ndarray | None:
-    """Replace near-zero cells by the global average (css.c:337-366).
+    """Replace near-zero cells by the global average (reference statistics/css/css.c:337-366).
 
     Quirks faithfully preserved: the average divides by all m^2 cells
     (including the zero diagonal), the diagonal itself gets overwritten with
@@ -341,7 +341,7 @@ def fill_averages(dis: np.ndarray) -> np.ndarray | None:
 
 
 def cmds(dis: np.ndarray, dims: int = 2) -> np.ndarray:
-    """Classical MDS / Torgerson scaling (css.c:505-560).
+    """Classical MDS / Torgerson scaling (reference statistics/css/css.c:505-560).
 
     Double-centers the squared dissimilarities and keeps the top ``dims``
     eigenpairs; X = Q sqrt(L).  A negative retained eigenvalue produces NaN
@@ -359,7 +359,7 @@ def cmds(dis: np.ndarray, dims: int = 2) -> np.ndarray:
 
 def calc_dist(x: np.ndarray) -> np.ndarray:
     """Pairwise Euclidean distances of the embedded points
-    (css.c:573-587)."""
+    (reference statistics/css/css.c:573-587)."""
     diff = x[:, None, :] - x[None, :, :]
     return np.sqrt((diff * diff).sum(-1))
 
@@ -367,7 +367,7 @@ def calc_dist(x: np.ndarray) -> np.ndarray:
 def css_score(
     dist: np.ndarray, atracks: np.ndarray, btracks: np.ndarray
 ) -> float:
-    """Cluster separation score (css.c:608-647).
+    """Cluster separation score (reference statistics/css/css.c:608-647).
 
     Between-group mean distance minus ``(a+b)`` times the two within-group
     adjacent-chain terms.  Note the within terms sum *consecutive pairs in
@@ -393,7 +393,7 @@ def significance(
     runs: int,
     rng: np.random.Generator,
 ) -> float:
-    """Monte-Carlo permutation p-value (css.c:727-752).
+    """Monte-Carlo permutation p-value (reference statistics/css/css.c:727-752).
 
     Stops at ``threshold`` hits or ``runs`` permutations; the estimator is
     ``(hits+1)/(n+1)``.  RNG stream differs from the (wall-clock-seeded)
@@ -412,14 +412,14 @@ def significance(
 
 
 def _stress(dis: np.ndarray, d: np.ndarray) -> float:
-    """Raw stress over i<j pairs (css.c:767-777)."""
+    """Raw stress over i<j pairs (reference statistics/css/css.c:767-777)."""
     iu = np.tril_indices(dis.shape[0], k=-1)
     diff = d[iu] - dis[iu]
     return float((diff * diff).sum())
 
 
 def _guttman(x_prev: np.ndarray, d: np.ndarray, dis: np.ndarray) -> np.ndarray:
-    """One Guttman transform step (css.c:811-836)."""
+    """One Guttman transform step (reference statistics/css/css.c:811-836)."""
     m = dis.shape[0]
     with np.errstate(divide="ignore", invalid="ignore"):
         b = np.where(d < 0.00001, 0.0, -dis / d)
@@ -434,7 +434,7 @@ def smacof(
     max_iters: int = 300,
     epsilon: float = 1e-6,
 ) -> tuple[np.ndarray, float]:
-    """SMACOF majorization loop (css.c:907-938).
+    """SMACOF majorization loop (reference statistics/css/css.c:907-938).
 
     Returns the final configuration and its stress.  Loop protocol matches
     the reference: the first iteration is unconditional, afterwards iterate
@@ -461,7 +461,7 @@ def smacof_runs(
     n_init: int = 4,
     epsilon: float = 1e-6,
 ) -> np.ndarray:
-    """SMACOF with random restarts, best-of-N by stress (css.c:852-884)."""
+    """SMACOF with random restarts, best-of-N by stress (reference statistics/css/css.c:852-884)."""
     m = dis.shape[0]
     best_x = None
     best_sigma = math.inf
@@ -485,7 +485,7 @@ def window_css(
     smacof_eps: float = 1e-6,
 ) -> tuple[float, np.ndarray | None]:
     """CSS for one window: dissimilarity -> fill averages -> MDS -> score
-    (css.c:181-223).  Returns (score, distance matrix) or (-1, None) when
+    (reference statistics/css/css.c:181-223).  Returns (score, distance matrix) or (-1, None) when
     the window is discarded."""
     if drosophila:
         dis = compare_freq(avals, bvals)
@@ -525,7 +525,7 @@ def compute_css(
     mds: int = 0,
     seed: int = 0,
 ) -> tuple[np.ndarray, np.ndarray]:
-    """Whole-chromosome serial CSS scan (css.c:49-156)."""
+    """Whole-chromosome serial CSS scan (reference statistics/css/css.c:49-156)."""
     asize = population_size(apos)
     bsize = population_size(bpos)
     nslots = regend // wstep

@@ -2,7 +2,7 @@
 
 Replaces the reference's entire parallel runtime — the 64-thread pthread
 pool with its mutex-guarded dynamic task counter (reference
-threadcss.c:19-25, threadfisher.c:19-25) — with static SPMD sharding of
+reference statistics/css/threadcss.c:19-25, reference statistics/fisher/threadfisher.c:19-25) — with static SPMD sharding of
 the window axis over a :class:`jax.sharding.Mesh` (SURVEY.md §2.5).
 """
 

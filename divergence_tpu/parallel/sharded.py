@@ -18,9 +18,9 @@ used by ``__graft_entry__.dryrun_multichip`` and ``bench-scaling``.
 RNG: per-window streams from :func:`divergence_tpu.kernels.perm.window_keys`
 (a pure function of the window id), so results are bit-identical across
 mesh sizes — the TPU replacement for the reference's per-thread
-wall-clock seeding (threadcss.c:220-223); the 1-vs-N equivalence test
+wall-clock seeding (reference statistics/css/threadcss.c:220-223); the 1-vs-N equivalence test
 (tests/test_parallel.py) is the analogue of the reference's
-serial-vs-threaded diff (testcss.c:31-142).
+serial-vs-threaded diff (reference statistics/css/testcss.c:31-142).
 """
 
 from __future__ import annotations

@@ -5,12 +5,12 @@ tools/, SURVEY.md §2.3) with CLI subcommands:
 
 | subcommand        | replaces (reference tools/)            |
 |-------------------|----------------------------------------|
-| convert-vcf       | ConvertVCFToGtrackTool.py + VCFConvert.py |
-| convert-snp-table | ConvertSticklebackSnpsToGtrack.py      |
-| run-fet           | FisherExactTestSNPTool.py              |
-| run-css           | ClusterSeparationScore.py              |
-| filter-fet        | FilterFisherScores.py                  |
-| call-css-regions  | SignificantCSSRegions.py               |
+| convert-vcf       | reference tools/ConvertVCFToGtrackTool.py + reference tools/VCFConvert.py |
+| convert-snp-table | reference tools/ConvertSticklebackSnpsToGtrack.py      |
+| run-fet           | reference tools/FisherExactTestSNPTool.py              |
+| run-css           | reference tools/ClusterSeparationScore.py              |
+| filter-fet        | reference tools/FilterFisherScores.py                  |
+| call-css-regions  | reference tools/SignificantCSSRegions.py               |
 
 Usage: ``python -m divergence_tpu.tools.cli <subcommand> --help``.
 """

@@ -1,7 +1,7 @@
 """Structured run summaries and per-stage timing.
 
 The reference's observability is printf + gettimeofday pairs
-(comparative.c:107-114, threadcss.c:55-107).  Here every run can emit a
+(reference statistics/css/comparative.c:107-114, reference statistics/css/threadcss.c:55-107).  Here every run can emit a
 JSON summary: window counts, discards, per-stage wall-clock, throughput.
 """
 
