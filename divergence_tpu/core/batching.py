@@ -103,13 +103,3 @@ def bucketize(
     return buckets
 
 
-def gather_indices(bucket: Bucket) -> tuple[np.ndarray, np.ndarray]:
-    """[Bw, P] SNP-axis gather indices and validity mask for a bucket.
-
-    Out-of-window rows point at index 0 (they are masked out device-side).
-    """
-    P = bucket.padded_npos
-    offs = np.arange(P, dtype=np.int64)[None, :]
-    idx = bucket.lo[:, None] + offs
-    mask = offs < bucket.npos[:, None]
-    return np.where(mask, idx, 0), mask

@@ -34,20 +34,29 @@ struct ChunkOut {
   std::vector<double> vals;
   std::vector<int32_t> seq;                  // local seqid ids
   std::vector<std::string> local_seqids;     // id -> name
+  bool malformed = false;                    // strictness flag (see below)
 };
 
-// parse a decimal integer; returns end pointer
-inline const char* scan_i64(const char* p, const char* end, int64_t* out) {
+// Strict decimal-integer token: requires >= 1 digit and a whitespace/EOL
+// terminator (mirrors Python int(cols[1])).  Returns nullptr if malformed.
+inline const char* scan_i64_strict(const char* p, const char* end,
+                                   int64_t* out) {
   bool neg = false;
   if (p < end && (*p == '-' || *p == '+')) { neg = (*p == '-'); ++p; }
+  const char* d0 = p;
   int64_t v = 0;
   while (p < end && *p >= '0' && *p <= '9') { v = v * 10 + (*p - '0'); ++p; }
+  if (p == d0) return nullptr;
+  if (p < end && !isspace(static_cast<unsigned char>(*p))) return nullptr;
   *out = neg ? -v : v;
   return p;
 }
 
-// parse a floating value; falls back to strtod for exponents
-inline const char* scan_f64(const char* p, const char* end, double* out) {
+// Strict floating token (falls back to strtod for exponents): requires
+// >= 1 digit and a whitespace/EOL terminator (mirrors Python
+// float(cols[2])).  Returns nullptr if malformed.
+inline const char* scan_f64_strict(const char* p, const char* end,
+                                   double* out) {
   const char* q = p;
   bool simple = true;
   if (q < end && (*q == '-' || *q == '+')) ++q;
@@ -56,26 +65,46 @@ inline const char* scan_f64(const char* p, const char* end, double* out) {
   if (!simple) {
     char* endp = nullptr;
     *out = strtod(p, &endp);
+    if (endp == p) return nullptr;
+    if (endp < end && !isspace(static_cast<unsigned char>(*endp)))
+      return nullptr;
     return endp;
   }
   bool neg = false;
   if (p < end && (*p == '-' || *p == '+')) { neg = (*p == '-'); ++p; }
+  int ndigits = 0, ndots = 0;
   int64_t ip = 0;
-  while (p < end && *p >= '0' && *p <= '9') { ip = ip * 10 + (*p - '0'); ++p; }
+  while (p < end && *p >= '0' && *p <= '9') {
+    ip = ip * 10 + (*p - '0');
+    ++ndigits;
+    ++p;
+  }
   double v = static_cast<double>(ip);
   if (p < end && *p == '.') {
+    ++ndots;
     ++p;
     double scale = 0.1;
     while (p < end && *p >= '0' && *p <= '9') {
       v += (*p - '0') * scale;
       scale *= 0.1;
+      ++ndigits;
       ++p;
     }
   }
+  if (ndigits == 0) return nullptr;                 // ".", "-", "" ...
+  if (p < end && !isspace(static_cast<unsigned char>(*p)))
+    return nullptr;                                 // "1.2.3", "12x" ...
   *out = neg ? -v : v;
   return p;
 }
 
+// Parse [begin, end) line by line.  Semantics mirror the Python
+// fallback reader (io/gtrack.py:_read_rows_chunked) exactly: lines that
+// are blank or whose first non-whitespace char is '#' are skipped; any
+// other line must yield (seqid, int pos, float value) or the whole
+// parse is flagged malformed — the ctypes wrapper then returns None and
+// the strict Python reader raises the proper error (never fabricate
+// rows from garbage).
 void parse_chunk(const char* begin, const char* end, ChunkOut* out) {
   std::map<std::string, int32_t> interned;
   const char* p = begin;
@@ -83,44 +112,44 @@ void parse_chunk(const char* begin, const char* end, ChunkOut* out) {
     const char* line_end = static_cast<const char*>(
         memchr(p, '\n', static_cast<size_t>(end - p)));
     if (!line_end) line_end = end;
-    if (p < line_end && *p != '#') {
-      // column 1: seqid
-      const char* tab1 = static_cast<const char*>(
-          memchr(p, '\t', static_cast<size_t>(line_end - p)));
-      if (!tab1) {  // whitespace-separated fallback
-        const char* q = p;
-        while (q < line_end && !isspace(static_cast<unsigned char>(*q))) ++q;
-        tab1 = q;
-      }
-      if (tab1 && tab1 < line_end) {
-        std::string seqid(p, static_cast<size_t>(tab1 - p));
-        const char* q = tab1;
-        while (q < line_end &&
-               isspace(static_cast<unsigned char>(*q)))
+    const char* s = p;
+    while (s < line_end && isspace(static_cast<unsigned char>(*s))) ++s;
+    if (s < line_end && *s != '#') {
+      // column 1: seqid (to the first whitespace; tab in the common case)
+      const char* tab1 = s;
+      while (tab1 < line_end &&
+             !isspace(static_cast<unsigned char>(*tab1)))
+        ++tab1;
+      const char* q = tab1;
+      while (q < line_end && isspace(static_cast<unsigned char>(*q))) ++q;
+      int64_t position = 0;
+      double value = 0.0;
+      q = scan_i64_strict(q, line_end, &position);
+      if (q) {
+        while (q < line_end && isspace(static_cast<unsigned char>(*q)))
           ++q;
-        int64_t position = 0;
-        q = scan_i64(q, line_end, &position);
-        while (q < line_end &&
-               isspace(static_cast<unsigned char>(*q)))
-          ++q;
-        double value = 0.0;
-        q = scan_f64(q, line_end, &value);
-        // column 4 (genomeid) is ignored: the population-size contract
-        // infers individuals from position run lengths
-        // (reference comparative.c:25-34)
-        auto it = interned.find(seqid);
-        int32_t id;
-        if (it == interned.end()) {
-          id = static_cast<int32_t>(out->local_seqids.size());
-          out->local_seqids.push_back(seqid);
-          interned.emplace(std::move(seqid), id);
-        } else {
-          id = it->second;
-        }
-        out->seq.push_back(id);
-        out->pos.push_back(position);
-        out->vals.push_back(value);
+        q = scan_f64_strict(q, line_end, &value);
       }
+      if (!q) {
+        out->malformed = true;
+        return;
+      }
+      // column 4 (genomeid) is ignored: the population-size contract
+      // infers individuals from position run lengths
+      // (reference statistics/css/comparative.c:25-34)
+      std::string seqid(s, static_cast<size_t>(tab1 - s));
+      auto it = interned.find(seqid);
+      int32_t id;
+      if (it == interned.end()) {
+        id = static_cast<int32_t>(out->local_seqids.size());
+        out->local_seqids.push_back(seqid);
+        interned.emplace(std::move(seqid), id);
+      } else {
+        id = it->second;
+      }
+      out->seq.push_back(id);
+      out->pos.push_back(position);
+      out->vals.push_back(value);
     }
     p = line_end + 1;
   }
@@ -188,6 +217,11 @@ int gtrack_parse(const char* path, struct GtrackResult* out, int n_threads) {
                          &chunks[static_cast<size_t>(t)]);
   }
   for (auto& th : threads) th.join();
+
+  // any malformed row: refuse the whole parse (-5) so the caller falls
+  // back to the strict Python reader, which raises the documented error
+  for (auto& c : chunks)
+    if (c.malformed) return -5;
 
   // merge: global seqid interning + remap, order-preserving
   std::map<std::string, int32_t> global;

@@ -37,6 +37,25 @@ class RegionCall:
     info: dict
 
 
+def burke_components(
+    scores: np.ndarray,
+    stddevs: np.ndarray,
+    norm_quantile: float = 0.999,
+    stddev_percentile: float = 75.0,
+) -> tuple[float, float, float]:
+    """(limit, median, stddev-upper-quantile) of the Burke et al. 2010
+    significance rule (reference tools/FilterFisherScores.py:84-87) —
+    one pass over the genome-wide arrays, components reported once."""
+    m = float(np.median(scores)) if len(scores) else float("nan")
+    upper = (
+        float(np.percentile(stddevs, stddev_percentile))
+        if len(stddevs)
+        else float("nan")
+    )
+    qnorm = float(sstats.norm.ppf(norm_quantile))
+    return m + qnorm * upper, m, upper
+
+
 def burke_limit(
     scores: np.ndarray,
     stddevs: np.ndarray,
@@ -45,10 +64,9 @@ def burke_limit(
 ) -> float:
     """Burke et al. 2010 significance limit
     (reference tools/FilterFisherScores.py:84-87)."""
-    m = float(np.median(scores))
-    upper = float(np.percentile(stddevs, stddev_percentile))
-    qnorm = float(sstats.norm.ppf(norm_quantile))
-    return m + qnorm * upper
+    return burke_components(
+        scores, stddevs, norm_quantile, stddev_percentile
+    )[0]
 
 
 def bh_threshold(p: np.ndarray, fdr: float) -> float | None:
@@ -128,7 +146,7 @@ def filter_fet_regions(
 ) -> RegionCall:
     """FET region calling (reference tools/FilterFisherScores.py:55-115)."""
     cfg = cfg or FetFilterConfig()
-    limit = burke_limit(
+    limit, median, upper = burke_components(
         scores, stddevs, cfg.norm_quantile, cfg.stddev_percentile
     )
     mask = scores >= limit
@@ -143,12 +161,8 @@ def filter_fet_regions(
         threshold=limit,
         n_windows_passing=int(mask.sum()),
         info={
-            "median": float(np.median(scores)) if len(scores) else np.nan,
-            "stddev_upper_quantile": (
-                float(np.percentile(stddevs, cfg.stddev_percentile))
-                if len(stddevs)
-                else np.nan
-            ),
+            "median": median,
+            "stddev_upper_quantile": upper,
             "norm_quantile": cfg.norm_quantile,
         },
     )

@@ -32,7 +32,16 @@ def _probe_devices(timeout_s: int) -> dict:
             text=True,
         )
         if r.returncode == 0 and r.stdout.strip():
-            out = json.loads(r.stdout.strip().splitlines()[-1])
+            # warnings/plugin chatter can interleave with the JSON line;
+            # a diagnosis tool must report the garbage, not crash on it
+            try:
+                out = json.loads(r.stdout.strip().splitlines()[-1])
+            except json.JSONDecodeError:
+                return {
+                    "ok": False,
+                    "error": "probe emitted non-JSON stdout: "
+                    + r.stdout.strip()[-300:],
+                }
             out["ok"] = True
             return out
         return {

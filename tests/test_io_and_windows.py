@@ -3,8 +3,10 @@
 import numpy as np
 import pytest
 
+import jax.numpy as jnp
+
 from divergence_tpu.core import plan_windows, bucketize
-from divergence_tpu.core.batching import gather_indices
+from divergence_tpu.engine.fet_engine import _gather_windows
 from divergence_tpu.io import (
     read_gtrack_points,
     write_score_track,
@@ -154,9 +156,19 @@ def test_bucketize_covers_all_valid_windows():
     for b in buckets:
         assert (npos[b.window_ids] <= b.padded_npos).all()
         assert b.padded_npos <= max(2 * npos[b.window_ids].max(), 16)
-        idx, mask = gather_indices(b)
-        assert idx.shape == (len(b.window_ids), b.padded_npos)
-        assert (mask.sum(1) == npos[b.window_ids]).all()
+        # the PRODUCTION gather contract (engine-side _gather_windows):
+        # row r of window w reads SNP lo[w]+r for r < npos[w], SNP 0 past
+        # the window (masked in the kernels)
+        N = int((b.lo + b.npos).max()) + 1
+        snp = jnp.arange(N, dtype=jnp.float64)[:, None]
+        av, _ = _gather_windows(
+            snp, snp, jnp.asarray(b.lo), jnp.asarray(b.npos), b.padded_npos
+        )
+        got = np.asarray(av)[..., 0]
+        assert got.shape == (len(b.window_ids), b.padded_npos)
+        offs = np.arange(b.padded_npos)[None, :]
+        expect = np.where(offs < b.npos[:, None], b.lo[:, None] + offs, 0)
+        np.testing.assert_array_equal(got, expect)
 
 
 def test_bucketize_element_budget_splits_dense_buckets():

@@ -48,15 +48,18 @@ def test_native_vs_python_reader(gtrack_file):
     via_native = read_gtrack_points(path)          # auto-uses native
     import divergence_tpu.io.gtrack as g
 
-    # force the pure-Python path
+    # force the pure-Python path: read_gtrack_points imports
+    # parse_gtrack_native_indexed (io/gtrack.py:74), so THAT is the
+    # symbol to stub — patching parse_gtrack_native would compare the
+    # native parser against itself
     import divergence_tpu.native as nat
 
-    parsed = nat.parse_gtrack_native  # save
+    parsed = nat.parse_gtrack_native_indexed  # save
     try:
-        nat.parse_gtrack_native = lambda p: None
+        nat.parse_gtrack_native_indexed = lambda p: None
         via_python = read_gtrack_points(path)
     finally:
-        nat.parse_gtrack_native = parsed
+        nat.parse_gtrack_native_indexed = parsed
 
     assert set(via_native) == set(via_python) == {"chrI", "chrII"}
     for k in via_native:
@@ -68,6 +71,39 @@ def test_native_vs_python_reader(gtrack_file):
 
 def test_native_missing_file():
     assert parse_gtrack_native("/nonexistent/file.gtrack") is None
+
+
+def test_native_strictness_matches_python(tmp_path):
+    """The native parser mirrors the Python reader's semantics exactly:
+    blank/indented-comment lines are skipped, and any malformed row
+    refuses the whole native parse (rc -5 -> None) so the strict Python
+    fallback raises — the native path must never fabricate rows."""
+    if not native_available():
+        pytest.skip("no native toolchain")
+
+    ok = tmp_path / "ok.gtrack"
+    ok.write_text(
+        "#h\n   \n\t\n  # indented comment\r\nchr1\t5\t3\ta\n\r\n"
+    )
+    parsed = parse_gtrack_native(ok)
+    assert parsed is not None
+    seq, pos, vals = parsed
+    assert list(seq) == ["chr1"] and list(pos) == [5] and list(vals) == [3.0]
+    tracks = read_gtrack_points(ok)
+    assert set(tracks) == {"chr1"} and tracks["chr1"].size == 1
+
+    for bad in (
+        "chr1\tabc\t3\n",       # non-integer position
+        "chr1\t12\n",           # missing value column
+        "chr1\t12\t1.2.3\n",    # malformed float
+        "chr1\t1.5\t3\n",       # fractional position
+        "chr1\t12\t\t\n",       # empty value token
+    ):
+        f = tmp_path / "bad.gtrack"
+        f.write_text("#h\n" + bad)
+        assert parse_gtrack_native(f) is None, bad
+        with pytest.raises((ValueError, IndexError)):
+            read_gtrack_points(f)
 
 
 def test_native_negative_and_float_values(tmp_path):
