@@ -133,13 +133,15 @@ def fet_two_tailed(
     t1 = jnp.sum(jnp.where(x <= a0[..., None], p, 0.0), axis=-1)
 
     # second tail: scanned from the opposite extreme (x = hi) inward while
-    # not more probable than the observed table (reference statistics/fisher/cFisher.c:436-448).
-    # Probability *ties* are included — the framework's deterministic
-    # tie rule (see oracle.reference.FET_TIE_RTOL); the reference's own
-    # tie behavior is FP-rounding-dependent.  valid-suffix AND: a position
-    # contributes iff no table at >= x fails the comparison.
+    # STRICTLY less probable than the observed table (the reference's
+    # `P2 < P0`, reference statistics/fisher/cFisher.c:440 — exact ties
+    # excluded; the C's integer binomials make a rational tie bit-equal,
+    # so exclusion is deterministic there, and randomized differential
+    # runs against the compiled C pinned it.  See
+    # oracle.reference.FET_TIE_RTOL).  valid-suffix AND: a position
+    # contributes iff no table at >= x fails the strict comparison.
     tie_rtol = 1e-12 if dtype == jnp.float64 else 1e-5
-    bad = (p > p0 * (1.0 + tie_rtol)) & valid
+    bad = (p >= p0 * (1.0 - tie_rtol)) & valid
     blocked = jnp.flip(
         jnp.cumsum(jnp.flip(bad, axis=-1).astype(jnp.int32), axis=-1), axis=-1
     )
@@ -147,7 +149,11 @@ def fet_two_tailed(
     t2 = jnp.sum(jnp.where(ok, p, 0.0), axis=-1)
 
     total = jnp.where(equal_margins, 2.0 * t1, t1 + t2)
-    return jnp.minimum(total, 1.0)
+    # snap round-off-shy-of-1 totals to exactly 1 (complete-support sums;
+    # see oracle.reference.fet_two_tailed) and clamp the >1 overshoots
+    # (reference statistics/fisher/cFisher.c:451-452)
+    snap = 1e-12 if dtype == jnp.float64 else 1e-5
+    return jnp.where(total > 1.0 - snap, 1.0, total)
 
 
 def _interp_ranks(npos: jnp.ndarray, perc: float, dtype=jnp.float64):

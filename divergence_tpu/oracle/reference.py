@@ -118,14 +118,22 @@ def _shift_table(f: list[int]) -> list[int]:
 
 
 # Relative tolerance for probability ties on the second tail.  The
-# reference compares `P2 < P0` where P2 came through a multiplicative
-# recurrence (reference statistics/fisher/cFisher.c:440-448): for tables whose null distribution is
-# symmetric (shifted R1' == C1') the mirrored observed table ties P0
-# *exactly* in rational arithmetic, and the reference's inclusion decision
-# is decided by accumulated FP rounding — i.e. arbitrary.  This framework
-# defines the deterministic rule "ties are included", which matches
-# scipy.stats.fisher_exact's convention; distinct probabilities of
-# N <= ~40 tables differ by >= 1e-5 relative, so 1e-12 cannot misfire.
+# reference compares `P2 < P0` (strict — ties EXCLUDED,
+# reference statistics/fisher/cFisher.c:440): the first opposite-extreme
+# P2 comes straight from fet_p, whose integer binomials and single
+# division are exact for these panel sizes, so a rational tie compares
+# bit-equal and the C deterministically excludes the whole second tail.
+# (Randomized differential runs against the compiled C caught this:
+# tie-including gave p = 1.0 where the C gives ~0.52.)  This framework
+# replicates the exclusion, treating probabilities within FET_TIE_RTOL
+# of P0 as tied (our lgamma path computes the tie only approximately).
+# Residual ambiguity: a mathematically tied table reached through the
+# C's multiplicative recurrence (an interior second-tail table, not the
+# extreme) carries ~1e-16/step rounding in the C, so ITS inclusion is
+# FP-noise-dependent in the reference itself; we deterministically
+# exclude.  Distinct hypergeometric probabilities of N <= ~40 tables
+# differ by far more than 1e-12 relative, so the tolerance cannot
+# misclassify genuinely different tables.
 FET_TIE_RTOL = 1e-12
 
 
@@ -133,9 +141,9 @@ def fet_two_tailed(f0: int, f1: int, f2: int, f3: int) -> float:
     """Two-tailed Fisher exact p via the Feldman-Klinger/Zar short cut
     (reference statistics/fisher/cFisher.c:405-455), including the P > 1 clamp.
 
-    Deliberate deviation: second-tail probability ties are *included*
-    (see FET_TIE_RTOL above); the reference's own behavior on ties is
-    floating-point-noise-dependent."""
+    Second-tail probability ties are EXCLUDED like the reference's
+    strict `P2 < P0` (see FET_TIE_RTOL above for the exactness argument
+    and the one residual interior-tie ambiguity)."""
     R1, R2 = f0 + f1, f2 + f3
     C1, C2 = f0 + f2, f1 + f3
 
@@ -167,7 +175,7 @@ def fet_two_tailed(f0: int, f1: int, f2: int, f3: int) -> float:
         f = _shift_table(f)
         a, b, c, d = f
         p2 = fet_point_prob(a, b, c, d)
-        while p2 <= p0 * (1.0 + FET_TIE_RTOL):
+        while p2 < p0 * (1.0 - FET_TIE_RTOL):
             total += p2
             if b == 0 or c == 0:
                 break
@@ -177,6 +185,15 @@ def fet_two_tailed(f0: int, f1: int, f2: int, f3: int) -> float:
             b -= 1
             c -= 1
 
+    # snap round-off-shy-of-1 totals to exactly 1: when the second-tail
+    # walk stops at a tie with the OBSERVED table, the exact total is the
+    # whole support = 1; the reference reaches 1 from above (its noisy
+    # recurrence double-counts, then the >1 clamp fires,
+    # reference statistics/fisher/cFisher.c:451-452) while our sum lands
+    # one ulp below.  Distinct genuine totals near 1 differ by at least
+    # the minimum table probability (>= ~1e-12 for these panel sizes).
+    if total > 1.0 - 1e-12:
+        return 1.0
     return min(total, 1.0)
 
 

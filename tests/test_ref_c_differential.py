@@ -170,6 +170,43 @@ def test_css_scores_match_reference_c(binaries, panel, mds):
     np.testing.assert_allclose(ref, eng, rtol=1e-6, atol=1e-8)
 
 
+def test_asymmetric_panel_matches_reference_c(binaries, tmp_path):
+    """Differential on a small asymmetric panel (3+7 individuals,
+    skewed genotype mix): panel shapes where exact probability ties in
+    the FET second tail are likelier — the randomized sweep that found
+    the tie-rule divergence (docs/PARITY.md deviation 7) hit them on
+    panels like this."""
+    from divergence_tpu.config import FetConfig, WindowConfig
+    from divergence_tpu.engine import run_fet
+    from divergence_tpu.engine.snp import SnpPair
+    from divergence_tpu.oracle import compute_fet
+
+    fet_bin, _ = binaries
+    rng = np.random.default_rng(1000)  # fuzz trial t0 parameters
+    codes = np.array([3.0, -3.0, 0.0, -10000.0])
+    asize, bsize, npos, region = 3, 7, 2000, 90_000
+    probs = rng.dirichlet([3, 3, 1.5, 0.4])
+    positions = np.sort(rng.choice(np.arange(1, region), npos, replace=False))
+    amat = rng.choice(codes, size=(npos, asize), p=probs)
+    bmat = rng.choice(codes, size=(npos, bsize), p=probs)
+    fa, fb = tmp_path / "a.gtrack", tmp_path / "b.gtrack"
+    _write_gtrack(fa, positions, amat)
+    _write_gtrack(fb, positions, bmat)
+    regend = int(positions[-1]) + 1
+
+    ref = _run_ref(fet_bin, fa, fb, tmp_path / "fet.dump")
+    apos, avals = _flat(positions, amat)
+    bpos, bvals = _flat(positions, bmat)
+    orc, _ = compute_fet(avals, bvals, apos, bpos, regend, 2500, 500)
+    np.testing.assert_allclose(ref, orc, rtol=1e-9, atol=1e-12)
+    pair = SnpPair(positions=positions, avals=amat, bvals=bmat)
+    eng, _ = run_fet(
+        pair, regend,
+        FetConfig(window=WindowConfig(2500, 500), bootstrap_samples=4),
+    )
+    np.testing.assert_allclose(ref, eng, rtol=1e-9, atol=1e-12)
+
+
 def test_odd_window_geometry_matches_reference_c(binaries, panel):
     """Non-divisible geometry (wsize % wstep != 0, regend % wstep != 0):
     the window-loop edge semantics — evaluate while start + wsize <=
