@@ -197,6 +197,52 @@ def fet_two_tailed(f0: int, f1: int, f2: int, f3: int) -> float:
     return min(total, 1.0)
 
 
+def fet_two_tailed_c_replica(f0: int, f1: int, f2: int, f3: int) -> float:
+    """Bit-faithful replica of the reference's `fet`
+    (reference statistics/fisher/cFisher.c:405-455) — identical IEEE
+    operation sequence, STRICT `P2 < P0` with no tie tolerance, plain
+    >1 clamp.  This reproduces even the reference's floating-point
+    accidents: an exact interior-tie table whose recurrence-computed P2
+    rounds one ulp below P0 gets INCLUDED here exactly as the compiled C
+    includes it (docs/PARITY.md deviation 7(b)), because every product,
+    division, and add happens in the same order on the same doubles.
+    Used by differential tests to separate "we differ from the C"
+    (a bug) from "the C differs from its own exact math" (fp luck the
+    framework rule, :func:`fet_two_tailed`, deliberately does not copy).
+    """
+    R1, R2 = f0 + f1, f2 + f3
+    C1, C2 = f0 + f2, f1 + f3
+    f = _shift_table([f0, f1, f2, f3])
+    a, b, c, d = f
+    p0 = fet_point_prob(a, b, c, d)
+    total = p0
+    p1 = p0
+    while a > 0:
+        b += 1
+        c += 1
+        p1 = (1.0 * a * d) / (b * c) * p1
+        total += p1
+        a -= 1
+        d -= 1
+    if R1 == R2 or C1 == C2:
+        total = 2.0 * total
+    else:
+        f = _create_opposite_extreme([a, b, c, d])
+        f = _shift_table(f)
+        a, b, c, d = f
+        p2 = fet_point_prob(a, b, c, d)
+        while p2 < p0:
+            total += p2
+            if b == 0 or c == 0:
+                break
+            a += 1
+            d += 1
+            p2 = (1.0 * b * c) / (a * d) * p2
+            b -= 1
+            c -= 1
+    return min(total, 1.0)
+
+
 def _create_opposite_extreme(f: list[int]) -> list[int]:
     """Most extreme table of the second tail (reference statistics/fisher/cFisher.c:357-390)."""
     R1, R2 = f[0] + f[1], f[2] + f[3]

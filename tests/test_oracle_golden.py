@@ -33,6 +33,49 @@ def test_fet_two_tailed_goldens():
     assert orc.fet_two_tailed(1, 3, 2, 3) == 1.0
 
 
+def test_fet_c_replica_tie_semantics():
+    """fet_two_tailed_c_replica reproduces the reference's fp-luck on
+    interior second-tail ties (docs/PARITY.md deviation 7(b)) while the
+    framework rule excludes them deterministically; off tie tables the
+    two agree exactly.  The two tables below were dissected from
+    randomized differential runs against the compiled C: x=2 ties the
+    observed table at exactly 22/91, and the C's recurrence rounds one
+    ulp below P0 and includes it."""
+    from fractions import Fraction
+
+    for f in [(4, 7, 0, 4), (4, 0, 7, 4)]:
+        rep = orc.fet_two_tailed_c_replica(*f)
+        ours = orc.fet_two_tailed(*f)
+        assert rep == pytest.approx(0.5164835164835164, rel=1e-15)
+        assert ours == pytest.approx(0.27472527472527475, rel=1e-15)
+
+    rng = np.random.default_rng(3)
+    checked = agreed = 0
+    for _ in range(400):
+        f = [int(x) for x in rng.integers(0, 13, size=4)]
+        R1, C1 = f[0] + f[1], f[0] + f[2]
+        n = sum(f)
+        if n == 0:
+            continue
+        # exact tie detection over the support
+        pobs = (Fraction(math.comb(R1, f[0]))
+                * Fraction(math.comb(n - R1, C1 - f[0])))
+        tied = any(
+            Fraction(math.comb(R1, x))
+            * Fraction(math.comb(n - R1, C1 - x)) == pobs
+            for x in range(max(0, C1 - (n - R1)), min(R1, C1) + 1)
+            if x != f[0]
+        )
+        if tied:
+            continue
+        checked += 1
+        if orc.fet_two_tailed_c_replica(*f) == pytest.approx(
+            orc.fet_two_tailed(*f), rel=1e-12
+        ):
+            agreed += 1
+    assert checked > 200 and agreed == checked
+
+
 def test_fet_two_tailed_vs_scipy():
     # Cross-check the Zar shortcut against scipy's two-sided FET on a grid.
     # The shortcut (cFisher.c:405-455) walks the minimum cell to zero
