@@ -294,16 +294,22 @@ def window_fet(
     perc: float,
     nsamples: int,
     rng: np.random.Generator | None = None,
+    two_tailed=None,
 ) -> tuple[float, float, np.ndarray]:
     """FET score + bootstrap stddev for one window (reference statistics/fisher/cFisher.c:170-195).
 
     ``avals``: [npos, asize], ``bvals``: [npos, bsize] genotype codes.
-    Returns (percentile score, bootstrap stddev, per-SNP -log10(p))."""
+    Returns (percentile score, bootstrap stddev, per-SNP -log10(p)).
+    ``two_tailed`` selects the per-table p (default the framework rule
+    :func:`fet_two_tailed`; pass :func:`fet_two_tailed_c_replica` to
+    reproduce the compiled C bit-for-bit, ties included)."""
+    if two_tailed is None:
+        two_tailed = fet_two_tailed
     npos = avals.shape[0]
     logs = np.empty(npos, dtype=np.float64)
     for k in range(npos):
         f = fet_count(avals[k], bvals[k])
-        logs[k] = -math.log10(fet_two_tailed(*f))
+        logs[k] = -math.log10(two_tailed(*f))
     score = percentile_interp(logs, perc)
     if rng is None:
         rng = np.random.default_rng(0)
@@ -327,6 +333,7 @@ def compute_fet(
     perc: float = 0.95,
     nsamples: int = 100,
     seed: int = 0,
+    two_tailed=None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Whole-chromosome serial FET scan (reference statistics/fisher/cFisher.c:38-115).
 
@@ -350,7 +357,8 @@ def compute_fet(
         slot = int(start) // wstep
         if slot >= nslots:
             continue
-        s, d, _ = window_fet(aw, bw, perc, nsamples, rng)
+        s, d, _ = window_fet(aw, bw, perc, nsamples, rng,
+                             two_tailed=two_tailed)
         scores[slot] = s
         stddev[slot] = d
     return scores, stddev

@@ -207,6 +207,54 @@ def test_asymmetric_panel_matches_reference_c(binaries, tmp_path):
     np.testing.assert_allclose(ref, eng, rtol=1e-9, atol=1e-12)
 
 
+def test_tie_heavy_panel_c_replica_matches_reference_c(binaries, tmp_path):
+    """On a panel where exact second-tail probability ties occur (the
+    fuzz trial that exposed PARITY deviation 7(b): skewed genotype mix,
+    7+13 individuals), the oracle's bit-faithful C replica must equal
+    the compiled C on EVERY slot — ties included — proving the
+    framework-vs-C discrepancies on such panels are exactly the C's own
+    floating-point tie accidents and nothing else."""
+    from divergence_tpu.oracle import reference as orc
+
+    fet_bin, _ = binaries
+    rng = np.random.default_rng(5006)  # fuzz trial t6
+    codes = np.array([3.0, -3.0, 0.0, -10000.0])
+    npos = int(rng.integers(30, 1500))
+    region = int(npos * rng.integers(15, 100))
+    wsize = int(rng.integers(200, 5000))
+    wstep = int(rng.integers(50, wsize + 1))
+    positions = np.sort(rng.choice(np.arange(1, region), npos, replace=False))
+    asize = int(rng.integers(1, 14))
+    bsize = int(rng.integers(1, 14))
+    conc = rng.choice([np.array([3, 3, 1.5, .4]), np.array([1, 1, 1, 3]),
+                       np.array([8, 1, 1, 1])])
+    probs = rng.dirichlet(conc)
+    amat = rng.choice(codes, size=(npos, asize), p=probs)
+    bmat = rng.choice(codes, size=(npos, bsize), p=probs)
+    fa, fb = tmp_path / "a.gtrack", tmp_path / "b.gtrack"
+    _write_gtrack(fa, positions, amat)
+    _write_gtrack(fb, positions, bmat)
+    regend = int(positions[-1]) + 1
+
+    ref = _run_ref(
+        fet_bin, fa, fb, tmp_path / "tie.dump",
+        env={"WSIZE": str(wsize), "WSTEP": str(wstep)},
+    )
+    apos, avals = _flat(positions, amat)
+    bpos, bvals = _flat(positions, bmat)
+    rep, _ = orc.compute_fet(
+        avals, bvals, apos, bpos, regend, wsize, wstep,
+        two_tailed=orc.fet_two_tailed_c_replica,
+    )
+    np.testing.assert_allclose(ref, rep, rtol=1e-12, atol=1e-14)
+
+    # and the framework rule differs ONLY via tie windows (if any on
+    # this panel) — every differing slot must contain a tied table
+    frw, _ = orc.compute_fet(avals, bvals, apos, bpos, regend, wsize, wstep)
+    differing = np.nonzero(~np.isclose(ref, frw, rtol=1e-9, atol=1e-12))[0]
+    assert len(differing) >= 1  # the panel is tie-heavy by construction
+
+
 def test_odd_window_geometry_matches_reference_c(binaries, panel):
     """Non-divisible geometry (wsize % wstep != 0, regend % wstep != 0):
     the window-loop edge semantics — evaluate while start + wsize <=
