@@ -80,8 +80,17 @@ int gsl_blas_dgemm(CBLAS_TRANSPOSE_t ta, CBLAS_TRANSPOSE_t tb, double alpha,
             for (k = 0; k < n; k++) {
                 acc += A->data[i * A->tda + k] * B->data[k * B->tda + j];
             }
+            /* BLAS semantics: beta == 0 means C is WRITE-ONLY — it must
+             * not be read, so inf/NaN left in C by an earlier window of
+             * the reference's reused scratch matrices cannot poison
+             * this product (0.0 * NaN would be NaN).  Real GSL/BLAS
+             * conforms; the reference relies on it (css.c reuses X/tmp
+             * across windows, and a genuinely-negative second CMDS
+             * eigenvalue legitimately NaNs one window's X). */
             C->data[i * C->tda + j] =
-                alpha * acc + beta * C->data[i * C->tda + j];
+                (beta == 0.0)
+                    ? alpha * acc
+                    : alpha * acc + beta * C->data[i * C->tda + j];
         }
     }
     return 0;

@@ -415,14 +415,20 @@ def cmds(dis: np.ndarray, dims: int = 2) -> np.ndarray:
     """Classical MDS / Torgerson scaling (reference statistics/css/css.c:505-560).
 
     Double-centers the squared dissimilarities and keeps the top ``dims``
-    eigenpairs; X = Q sqrt(L).  A negative retained eigenvalue produces NaN
-    coordinates exactly like the reference's ``sqrt``."""
+    eigenpairs; X = Q sqrt(L).  A genuinely negative retained eigenvalue
+    produces NaN coordinates exactly like the reference's ``sqrt``; a
+    mathematically-ZERO eigenvalue's numerical dust is snapped to 0
+    first (same rule as kernels/css.py cmds) — the reference NaNs or
+    not there purely on its eigensolver's sign noise
+    (docs/PARITY.md deviation 8(c))."""
     m = dis.shape[0]
     b = dis * dis
     z = np.eye(m) - np.ones((m, m)) / m
     b = -0.5 * (z @ b @ z)
     w, v = np.linalg.eigh(b)  # ascending
-    top = w[::-1][:dims]
+    top = w[::-1][:dims].copy()
+    scale = max(abs(float(top[0])), 1.0)
+    top[(top < 0) & (top > -1e-9 * scale)] = 0.0
     vecs = v[:, ::-1][:, :dims]
     with np.errstate(invalid="ignore"):
         return vecs * np.sqrt(top)[None, :]

@@ -36,7 +36,12 @@ from bench import make_chromosome  # noqa: E402
 def binaries():
     fet = BASELINE / "build" / "bench_ref_fet"
     css = BASELINE / "build" / "bench_ref_css"
-    srcs = [BASELINE / "bench_ref_fet.c", BASELINE / "bench_ref_css.c"]
+    srcs = [
+        BASELINE / "bench_ref_fet.c",
+        BASELINE / "bench_ref_css.c",
+        BASELINE / "gslshim" / "gsl_shim.c",
+        BASELINE / "build.sh",
+    ]
     stale = not fet.exists() or any(
         s.stat().st_mtime > fet.stat().st_mtime for s in srcs
     )
