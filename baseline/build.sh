@@ -38,4 +38,9 @@ gcc $CFLAGS -I"$REF/css" -I"$HERE/gslshim" \
     "$HERE/gslshim/gsl_shim.c" \
     -lm -lpthread
 
-echo "built: $BUILD/bench_ref_fet $BUILD/bench_ref_css"
+# --- faketime preload: pins time(NULL) so the reference's wall-clock
+# PRNG seeding becomes deterministic (differential tests of the
+# stochastic columns) ---
+gcc -O2 -fPIC -shared -o "$BUILD/libfaketime.so" "$HERE/faketime.c"
+
+echo "built: $BUILD/bench_ref_fet $BUILD/bench_ref_css $BUILD/libfaketime.so"

@@ -243,6 +243,178 @@ def fet_two_tailed_c_replica(f0: int, f1: int, f2: int, f3: int) -> float:
     return min(total, 1.0)
 
 
+class CRand48:
+    """glibc rand48-family replica (nrand48/drand48 LCG:
+    X' = (0x5DEECE66D X + 0xB) mod 2^48) — exact integer arithmetic, so
+    the stream matches the compiled reference bit-for-bit once its
+    wall-clock seed is pinned (baseline/faketime.c)."""
+
+    A = 0x5DEECE66D
+    C = 0xB
+    MASK = (1 << 48) - 1
+    RAND_MAX = 2147483647
+
+    def __init__(self, x: int):
+        self.x = x & self.MASK
+
+    @classmethod
+    def from_nrand_state(cls, s0: int, s1: int = 0, s2: int = 0):
+        """unsigned short state[3] layout: X = s2<<32 | s1<<16 | s0.
+        The reference memcpy's a 16-bit truncation of time(NULL) into
+        state[0] (reference statistics/fisher/cFisher.c:77-79)."""
+        return cls((s2 << 32) | (s1 << 16) | s0)
+
+    @classmethod
+    def from_srand48(cls, seed: int):
+        """srand48 semantics: X = seed<<16 | 0x330E."""
+        return cls(((seed & 0xFFFFFFFF) << 16) | 0x330E)
+
+    def nrand48(self) -> int:
+        self.x = (self.A * self.x + self.C) & self.MASK
+        return self.x >> 17
+
+    def drand48(self) -> float:
+        self.x = (self.A * self.x + self.C) & self.MASK
+        return math.ldexp(self.x, -48)
+
+    def random_int(self, n: int) -> int:
+        """random_int_nrand48 (reference statistics/fisher/cFisher.c:547-554):
+        modulo-bias-free draw in [0, n)."""
+        limit = self.RAND_MAX - (self.RAND_MAX + 1) % n
+        r = self.nrand48()
+        while r > limit:
+            r = self.nrand48()
+        return r % n
+
+
+def compute_fet_c_replica(
+    avals: np.ndarray,
+    bvals: np.ndarray,
+    apos: np.ndarray,
+    bpos: np.ndarray,
+    regend: int,
+    wsize: int,
+    wstep: int,
+    perc: float = 0.95,
+    nsamples: int = 100,
+    time_seed: int = 42,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Bit-faithful replica of the serial C `compute` INCLUDING the
+    bootstrap stddev column (reference statistics/fisher/cFisher.c:38-115)
+    under a pinned clock (LD_PRELOAD baseline/build/libfaketime.so with
+    FAKE_TIME=``time_seed``): exact rand48 stream, the C's op order for
+    percentile/mean/std, p-values via :func:`fet_two_tailed_c_replica`,
+    and ONE nrand48 state threaded across all windows in scan order.
+    Quirk preserved: `percentile` sorts the per-SNP scores IN PLACE
+    (reference statistics/fisher/cFisher.c:136), so the bootstrap draws
+    from the SORTED array."""
+    asize = population_size(apos)
+    bsize = population_size(bpos)
+    nslots = regend // wstep
+    scores = np.zeros(nslots, dtype=np.float64)
+    stddev = np.zeros(nslots, dtype=np.float64)
+    st = CRand48.from_nrand_state(time_seed & 0xFFFF)
+    for start in window_starts(regend, wsize, wstep):
+        lo, hi = window_bounds(apos, int(start), int(start) + wsize)
+        blo, bhi = window_bounds(bpos, int(start), int(start) + wsize)
+        npos = (hi - lo) // asize
+        if npos <= 0:
+            continue
+        aw = avals[lo : lo + npos * asize].reshape(npos, asize)
+        bw = bvals[blo : blo + npos * bsize].reshape(npos, bsize)
+        logs = np.empty(npos, dtype=np.float64)
+        for k in range(npos):
+            f = fet_count(aw[k], bw[k])
+            logs[k] = -1.0 * math.log10(fet_two_tailed_c_replica(*f))
+        s = np.sort(logs)
+        score = percentile_interp(s, perc)
+        reps = np.empty(nsamples, dtype=np.float64)
+        sample = np.empty(npos, dtype=np.float64)
+        for i in range(nsamples):
+            # bootstrap_sample's `for (i = n; i--; )` draw order
+            for j in range(npos - 1, -1, -1):
+                sample[j] = s[st.random_int(npos)]
+            reps[i] = percentile_interp(sample, perc)
+        # std() and mean() accumulate DESCENDING (reference
+        # statistics/fisher/cFisher.c:492-518)
+        mu = 0.0
+        for i in range(nsamples - 1, -1, -1):
+            mu += reps[i]
+        mu /= nsamples
+        acc = 0.0
+        for i in range(nsamples - 1, -1, -1):
+            acc += (reps[i] - mu) * (reps[i] - mu)
+        slot = int(start) // wstep
+        if slot < nslots:
+            scores[slot] = score
+            stddev[slot] = math.sqrt(acc / nsamples)
+    return scores, stddev
+
+
+def compute_css_p_c_replica(
+    avals: np.ndarray,
+    bvals: np.ndarray,
+    apos: np.ndarray,
+    bpos: np.ndarray,
+    regend: int,
+    wsize: int,
+    wstep: int,
+    threshold: int,
+    runs: int,
+    time_seed: int = 42,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Replica of the serial C `compute` (CMDS mode) INCLUDING the
+    Monte-Carlo p column (reference statistics/css/css.c:49-156,
+    727-752) under a pinned clock: exact nrand48 stream, the C's
+    cumulative Fisher-Yates on the ONE `signtracks` array that persists
+    across all windows of the chromosome (reference
+    statistics/css/css.c:94-98 — never reset), and the estimator
+    p = (hits+1)/(nscores+1).
+
+    Not bitwise in the way the FET replica is: the permuted-score
+    comparison `newscore >= score` runs on OUR distance matrix (numpy
+    eigh CMDS), which differs from the C's (Jacobi) at ~1e-15 — a
+    comparison landing inside that margin can flip one hit.  Use a
+    fixed-n protocol (threshold > runs) so a flip costs 1/(runs+1) on
+    that window only and cannot desynchronize the shared RNG stream
+    (the draw count per window is then comparison-independent)."""
+    asize = population_size(apos)
+    bsize = population_size(bpos)
+    m = asize + bsize
+    nslots = regend // wstep
+    scores = np.zeros(nslots, dtype=np.float64)
+    pvals = np.zeros(nslots, dtype=np.float64)
+    st = CRand48.from_nrand_state(time_seed & 0xFFFF)
+    signtracks = list(range(m))
+    for start in window_starts(regend, wsize, wstep):
+        lo, hi = window_bounds(apos, int(start), int(start) + wsize)
+        blo, bhi = window_bounds(bpos, int(start), int(start) + wsize)
+        npos = (hi - lo) // asize
+        if npos <= 0:
+            continue
+        aw = avals[lo : lo + npos * asize].reshape(npos, asize)
+        bw = bvals[blo : blo + npos * bsize].reshape(npos, bsize)
+        score, dist = window_css(aw, bw, False, 0)
+        if dist is None:
+            continue
+        hits = 0
+        nscores = 0
+        while hits < threshold and nscores < runs:
+            for i in range(m - 1, 0, -1):
+                r = st.random_int(i + 1)
+                signtracks[i], signtracks[r] = signtracks[r], signtracks[i]
+            at = np.asarray(signtracks[:asize])
+            bt = np.asarray(signtracks[asize:])
+            if css_score(dist, at, bt) >= score:
+                hits += 1
+            nscores += 1
+        slot = int(start) // wstep
+        if slot < nslots:
+            scores[slot] = score
+            pvals[slot] = (hits + 1) * 1.0 / (nscores + 1)
+    return scores, pvals
+
+
 def _create_opposite_extreme(f: list[int]) -> list[int]:
     """Most extreme table of the second tail (reference statistics/fisher/cFisher.c:357-390)."""
     R1, R2 = f[0] + f[1], f[2] + f[3]

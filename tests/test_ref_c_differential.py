@@ -374,6 +374,86 @@ def test_fet_stddev_matches_reference_c_distribution(binaries, panel):
     assert 0.85 < med < 1.18, med
 
 
+def test_fet_stddev_bitwise_under_faketime(binaries, panel):
+    """The LAST stochastic column, pinned: with the reference's
+    wall-clock seed fixed via the LD_PRELOAD faketime shim, the oracle's
+    exact rand48 replica (compute_fet_c_replica) reproduces the compiled
+    C's bootstrap stddev essentially bit-for-bit — completing exact
+    differential coverage of every FET output."""
+    from divergence_tpu.oracle import reference as orc
+
+    fet_bin, _ = binaries
+    lib = BASELINE / "build" / "libfaketime.so"
+    if not lib.exists():
+        pytest.skip("faketime shim not built")
+    tmp, fa, fb, positions, amat, bmat = panel
+    regend = int(positions[-1]) + 1
+
+    env = {"LD_PRELOAD": str(lib), "FAKE_TIME": "42"}
+    ref_s1, ref_d1 = _run_ref(fet_bin, fa, fb, tmp / "ft1.dump",
+                              env=env, aux=True)
+    ref_s2, ref_d2 = _run_ref(fet_bin, fa, fb, tmp / "ft2.dump",
+                              env=env, aux=True)
+    if not np.array_equal(ref_d1, ref_d2):
+        pytest.skip("time() preload not effective on this platform")
+    assert (ref_d1 != 0).sum() > 100  # the clock pin really ran the C
+
+    apos, avals = _flat(positions, amat)
+    bpos, bvals = _flat(positions, bmat)
+    rep_s, rep_d = orc.compute_fet_c_replica(
+        avals, bvals, apos, bpos, regend, 2500, 500, time_seed=42
+    )
+    np.testing.assert_allclose(ref_s1, rep_s, rtol=1e-12, atol=1e-14)
+    np.testing.assert_allclose(ref_d1, rep_d, rtol=1e-12, atol=1e-14)
+
+
+def test_css_pvalues_exact_under_faketime(binaries, panel):
+    """CSS MC p, pinned: with the clock preload fixing the reference's
+    nrand48 seed, the oracle replica reproduces the compiled C's exact
+    p = (hits+1)/(runs+1) per window — same cumulative Fisher-Yates
+    stream over the chromosome-persistent signtracks array.  Fixed-n
+    protocol; a comparison inside the ~1e-15 eigensolver margin may
+    flip one hit, so a tiny number of windows may differ by exactly
+    1/(runs+1)."""
+    from divergence_tpu.oracle import reference as orc
+
+    _, css_bin = binaries
+    lib = BASELINE / "build" / "libfaketime.so"
+    if not lib.exists():
+        pytest.skip("faketime shim not built")
+    tmp, fa, fb, positions, amat, bmat = panel
+    regend = int(positions[-1]) + 1
+    runs = 400
+
+    env = {
+        "LD_PRELOAD": str(lib),
+        "FAKE_TIME": "42",
+        "CSS_TRESHOLD": "1000000",
+        "CSS_RUNS": str(runs),
+    }
+    ref_s1, ref_p1 = _run_ref(css_bin, fa, fb, tmp / "cft1.dump",
+                              env=env, aux=True)
+    ref_s2, ref_p2 = _run_ref(css_bin, fa, fb, tmp / "cft2.dump",
+                              env=env, aux=True)
+    if not np.array_equal(ref_p1, ref_p2):
+        pytest.skip("time() preload not effective on this platform")
+
+    apos, avals = _flat(positions, amat)
+    bpos, bvals = _flat(positions, bmat)
+    rep_s, rep_p = orc.compute_css_p_c_replica(
+        avals, bvals, apos, bpos, regend, 2500, 500,
+        threshold=1_000_000, runs=runs, time_seed=42,
+    )
+    np.testing.assert_allclose(ref_s1, rep_s, rtol=1e-7, atol=1e-9)
+    scored = ref_s1 != 0
+    assert scored.sum() > 100
+    diff = np.abs(ref_p1[scored] - rep_p[scored])
+    exact = diff == 0
+    # allow at most 1% single-hit flips, each exactly 1/(runs+1)
+    assert exact.mean() > 0.99, (1 - exact.mean())
+    assert np.all(diff[~exact] <= 1.0 / (runs + 1) + 1e-12)
+
+
 def test_css_drosophila_scores_match_reference_c(binaries, tmp_path):
     """Frequency-track (drosophila) mode differential: 2 pseudo-
     individuals, dissimilarity = mean |freqA-freqB| (css.c:245-264) —
