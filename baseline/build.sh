@@ -43,4 +43,25 @@ gcc $CFLAGS -I"$REF/css" -I"$HERE/gslshim" \
 # stochastic columns) ---
 gcc -O2 -fPIC -shared -o "$BUILD/libfaketime.so" "$HERE/faketime.c"
 
+# --- strict-fp probe variants: identical sources, -ffp-contract=off so
+# every C expression rounds per-operation and the oracle's exact op-order
+# replicas can match bit-for-bit (gcc contracts a*b+c to fma by default,
+# which is unreplicable from numpy).  Timing baselines above keep the
+# default contraction — these are for differential exactness tests only.
+gcc $CFLAGS -ffp-contract=off -I"$REF/fisher" \
+    -o "$BUILD/bench_ref_fet_strict" \
+    "$HERE/bench_ref_fet.c" \
+    "$REF/fisher/cFisher.c" \
+    "$REF/fisher/threadfisher.c" \
+    "$REF/fisher/comparative.c" \
+    -lm -lpthread
+gcc $CFLAGS -ffp-contract=off -I"$REF/css" -I"$HERE/gslshim" \
+    -o "$BUILD/bench_ref_css_strict" \
+    "$HERE/bench_ref_css.c" \
+    "$REF/css/css.c" \
+    "$REF/css/threadcss.c" \
+    "$REF/css/comparative.c" \
+    "$HERE/gslshim/gsl_shim.c" \
+    -lm -lpthread
+
 echo "built: $BUILD/bench_ref_fet $BUILD/bench_ref_css $BUILD/libfaketime.so"

@@ -415,6 +415,168 @@ def compute_css_p_c_replica(
     return scores, pvals
 
 
+def _css_c_exact(distance: np.ndarray, atracks, btracks) -> float:
+    """css() with the C's exact accumulation order — all three sums run
+    index-DESCENDING (reference statistics/css/css.c:608-647) — for
+    bitwise comparisons against the strict-fp reference build."""
+    asize, bsize = len(atracks), len(btracks)
+    bet = 0.0
+    for i in range(asize - 1, -1, -1):
+        for j in range(bsize - 1, -1, -1):
+            bet += distance[atracks[i]][btracks[j]]
+    bet = bet / (asize * bsize)
+    a_dist = 0.0
+    if asize > 1:
+        for i in range(asize - 2, -1, -1):
+            a_dist += distance[atracks[i]][atracks[i + 1]]
+        a_dist = a_dist / (asize * asize * (asize - 1))
+    b_dist = 0.0
+    if bsize > 1:
+        for i in range(bsize - 2, -1, -1):
+            b_dist += distance[btracks[i]][btracks[i + 1]]
+        b_dist = b_dist / (bsize * bsize * (bsize - 1))
+    return bet - (asize + bsize) * (a_dist + b_dist)
+
+
+def _stress_c(dis: np.ndarray, d: np.ndarray) -> float:
+    """stress() with the C's exact global accumulation order: i
+    descending, j < i descending, one running sum (reference
+    statistics/css/css.c:767-777)."""
+    m = dis.shape[0]
+    sigma = 0.0
+    for i in range(m - 1, -1, -1):
+        for j in range(i - 1, -1, -1):
+            t = d[i][j] - dis[i][j]
+            sigma += t * t
+    return sigma
+
+
+def _guttman_c(x: np.ndarray, d: np.ndarray, dis: np.ndarray) -> np.ndarray:
+    """guttman_transform() with the C's exact op orders (reference
+    statistics/css/css.c:811-836): per-row diagonal accumulated
+    j-DESCENDING, then the shim dgemm's k-ASCENDING matmul.  Vectorized
+    over rows/columns — each element's accumulation sequence is
+    identical to the scalar C loop, so the result is bit-equal under a
+    strict-fp (-ffp-contract=off) reference build."""
+    m = dis.shape[0]
+    with np.errstate(divide="ignore", invalid="ignore"):
+        b = np.where(d < 0.00001, 0.0, -1.0 * dis / d)
+    np.fill_diagonal(b, 0.0)
+    dsum = np.zeros(m, dtype=np.float64)
+    for j in range(m - 1, -1, -1):
+        dsum += b[:, j]
+    np.fill_diagonal(b, -1.0 * dsum)
+    out = np.zeros((m, x.shape[1]), dtype=np.float64)
+    for k in range(m):
+        out += b[:, k : k + 1] * x[k : k + 1, :]
+    return out / m
+
+
+def _calc_dist_c(x: np.ndarray) -> np.ndarray:
+    """calc_dist()'s exact expression (reference
+    statistics/css/css.c:573-587): sqrt(dx*dx + dy*dy), one rounding per
+    op — elementwise-identical to the strict-fp C."""
+    dx = x[:, None, 0] - x[None, :, 0]
+    dy = x[:, None, 1] - x[None, :, 1]
+    out = np.sqrt(dx * dx + dy * dy)
+    np.fill_diagonal(out, 0.0)
+    return out
+
+
+def _smacof_c(dis: np.ndarray, x0: np.ndarray, max_iters: int,
+              epsilon: float) -> tuple[np.ndarray, float]:
+    """smacof() with the C's exact loop protocol and op orders
+    (reference statistics/css/css.c:907-938)."""
+    x = x0.copy()
+    d = _calc_dist_c(x)
+    sigma = _stress_c(dis, d)
+    sigma_prev = 0.0
+    k = 0
+    while k == 0 or (sigma_prev - sigma > epsilon and k <= max_iters):
+        sigma_prev = sigma
+        k += 1
+        x = _guttman_c(x, d, dis)
+        d = _calc_dist_c(x)
+        sigma = _stress_c(dis, d)
+    return x, sigma
+
+
+def compute_css_mds1_c_replica(
+    avals: np.ndarray,
+    bvals: np.ndarray,
+    apos: np.ndarray,
+    bpos: np.ndarray,
+    regend: int,
+    wsize: int,
+    wstep: int,
+    threshold: int,
+    runs: int,
+    time_seed: int = 42,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Replica of the serial C `compute` in SMACOF mode (mds=1) —
+    scores AND MC p — against the strict-fp reference build under a
+    pinned clock.  The mds=1 chain involves NO eigensolver: the inits
+    come from the exact drand48 replica (srand48(time), reference
+    statistics/css/css.c:115, consumed in smacof_runs' restart loop,
+    :852-884), every float op is order-replicated, so the embedding,
+    the best-of-4 stress selection, the score, and the cumulative
+    nrand48 shuffle stream are all exact."""
+    asize = population_size(apos)
+    bsize = population_size(bpos)
+    m = asize + bsize
+    nslots = regend // wstep
+    scores = np.zeros(nslots, dtype=np.float64)
+    pvals = np.zeros(nslots, dtype=np.float64)
+    st = CRand48.from_nrand_state(time_seed & 0xFFFF)
+    dr = CRand48.from_srand48(time_seed)
+    signtracks = list(range(m))
+    at0 = np.arange(asize)
+    bt0 = np.arange(asize, m)
+    for start in window_starts(regend, wsize, wstep):
+        lo, hi = window_bounds(apos, int(start), int(start) + wsize)
+        blo, bhi = window_bounds(bpos, int(start), int(start) + wsize)
+        npos = (hi - lo) // asize
+        if npos <= 0:
+            continue
+        aw = avals[lo : lo + npos * asize].reshape(npos, asize)
+        bw = bvals[blo : blo + npos * bsize].reshape(npos, bsize)
+        dis = compare_all(aw, bw)
+        filled = fill_averages(dis)
+        if filled is None:
+            continue
+        # smacof_runs: 4 restarts, drand48 inits in row order, best by
+        # exact stress comparison (reference statistics/css/css.c:852-884)
+        best_x = None
+        best_sigma = 99999.0
+        for _ in range(4):
+            x0 = np.empty((m, 2), dtype=np.float64)
+            for i in range(m):
+                x0[i, 0] = dr.drand48()
+                x0[i, 1] = dr.drand48()
+            x, sigma = _smacof_c(filled, x0, 300, 0.000001)
+            if sigma < best_sigma:
+                best_x = x
+                best_sigma = sigma
+        dist = _calc_dist_c(best_x)
+        score = _css_c_exact(dist, at0, bt0)
+        hits = 0
+        nscores = 0
+        while hits < threshold and nscores < runs:
+            for i in range(m - 1, 0, -1):
+                r = st.random_int(i + 1)
+                signtracks[i], signtracks[r] = signtracks[r], signtracks[i]
+            if _css_c_exact(
+                dist, signtracks[:asize], signtracks[asize:]
+            ) >= score:
+                hits += 1
+            nscores += 1
+        slot = int(start) // wstep
+        if slot < nslots:
+            scores[slot] = score
+            pvals[slot] = (hits + 1) * 1.0 / (nscores + 1)
+    return scores, pvals
+
+
 def _create_opposite_extreme(f: list[int]) -> list[int]:
     """Most extreme table of the second tail (reference statistics/fisher/cFisher.c:357-390)."""
     R1, R2 = f[0] + f[1], f[2] + f[3]

@@ -454,6 +454,63 @@ def test_css_pvalues_exact_under_faketime(binaries, panel):
     assert np.all(diff[~exact] <= 1.0 / (runs + 1) + 1e-12)
 
 
+def test_css_smacof_mode_exact_under_faketime(binaries, tmp_path):
+    """mds=1 (SMACOF with drand48 restarts) — the final uncovered
+    output: against the strict-fp reference build (-ffp-contract=off)
+    with the clock pinned, the oracle replica reproduces scores AND MC
+    p per window.  The mds=1 chain has no eigensolver, so with exact
+    drand48 inits and op-order-replicated float math the embedding and
+    the best-of-4 selection are bit-faithful."""
+    from divergence_tpu.oracle import reference as orc
+
+    _ = binaries  # ensures the build ran
+    css_strict = BASELINE / "build" / "bench_ref_css_strict"
+    lib = BASELINE / "build" / "libfaketime.so"
+    if not css_strict.exists() or not lib.exists():
+        pytest.skip("strict-fp build unavailable")
+
+    rng = np.random.default_rng(77)
+    codes = np.array([3.0, -3.0, 0.0, -10000.0])
+    asize, bsize, npos, region = 5, 4, 600, 50_000
+    positions = np.sort(rng.choice(np.arange(1, region), npos, replace=False))
+    amat = rng.choice(codes, size=(npos, asize), p=[.45, .35, .15, .05])
+    bmat = rng.choice(codes, size=(npos, bsize), p=[.45, .35, .15, .05])
+    fa, fb = tmp_path / "a.gtrack", tmp_path / "b.gtrack"
+    _write_gtrack(fa, positions, amat)
+    _write_gtrack(fb, positions, bmat)
+    regend = int(positions[-1]) + 1
+    runs = 100
+
+    env = {
+        "LD_PRELOAD": str(lib),
+        "FAKE_TIME": "42",
+        "CSS_TRESHOLD": "1000000",
+        "CSS_RUNS": str(runs),
+    }
+    ref_s1, ref_p1 = _run_ref(css_strict, fa, fb, tmp_path / "s1.dump",
+                              extra=(regend, 1), env=env, aux=True)
+    ref_s2, ref_p2 = _run_ref(css_strict, fa, fb, tmp_path / "s2.dump",
+                              extra=(regend, 1), env=env, aux=True)
+    if not (np.array_equal(ref_s1, ref_s2)
+            and np.array_equal(ref_p1, ref_p2)):
+        pytest.skip("time() preload not effective on this platform")
+
+    apos, avals = _flat(positions, amat)
+    bpos, bvals = _flat(positions, bmat)
+    rep_s, rep_p = orc.compute_css_mds1_c_replica(
+        avals, bvals, apos, bpos, regend, 2500, 500,
+        threshold=1_000_000, runs=runs, time_seed=42,
+    )
+    scored = ref_s1 != 0
+    assert scored.sum() > 50
+    np.testing.assert_allclose(ref_s1, rep_s, rtol=1e-12, atol=1e-14)
+    # p exact except single-hit flips at an fp comparison boundary
+    diff = np.abs(ref_p1[scored] - rep_p[scored])
+    exact = diff == 0
+    assert exact.mean() > 0.98, (1 - exact.mean())
+    assert np.all(diff[~exact] <= 1.0 / (runs + 1) + 1e-12)
+
+
 def test_css_drosophila_scores_match_reference_c(binaries, tmp_path):
     """Frequency-track (drosophila) mode differential: 2 pseudo-
     individuals, dissimilarity = mean |freqA-freqB| (css.c:245-264) —
