@@ -9,15 +9,26 @@ OUT="$REPO/baseline/tpu_capture"
 mkdir -p "$OUT"
 export PYTHONPATH="$REPO:${PYTHONPATH:-}"
 
+# RUNNING marker: bench.py waits on this so the driver's capture and
+# this battery never claim the remote chip concurrently (observed to
+# wedge the tunnel).  Refreshed per step; removed on exit.
+touch "$OUT/RUNNING"
+trap 'rm -f "$OUT/RUNNING"' EXIT
+# tells bench.py the marker is OURS (its wait-for-battery must not
+# deadlock on the battery's own bench step)
+export CAPTURE_BATTERY=1
+
 echo "== doctor =="
 timeout 300 python -m divergence_tpu.tools.cli doctor --timeout 240 \
     | tee "$OUT/doctor.json"
 
+touch "$OUT/RUNNING"
 echo "== bench.py (headline) =="
 BENCH_PROBE_ATTEMPTS=1 timeout 3600 python "$REPO/bench.py" \
     2> "$OUT/bench.stderr" | tee "$OUT/bench.json"
 tail -5 "$OUT/bench.stderr"
 
+touch "$OUT/RUNNING"
 echo "== bench-mc: in-loop (production) + standalone A/B =="
 timeout 3600 python -m divergence_tpu.tools.cli bench-mc \
     --window-batch 1024 --chunk 256 --iters 8 \
@@ -28,6 +39,7 @@ timeout 3600 python -m divergence_tpu.tools.cli bench-mc \
     --backends xla,xla_threefry,xla_matmul,xla_mlast,pallas,native \
     | tee "$OUT/bench_mc.json"
 
+touch "$OUT/RUNNING"
 echo "== FET precision=exact =="
 timeout 3600 python - <<'EOF' | tee "$OUT/fet_exact.json"
 import json, sys, time
@@ -54,6 +66,7 @@ print(json.dumps({"fet_exact_tests_per_s": round(n_tests / best, 1),
                   "wall_s": round(best, 3)}))
 EOF
 
+touch "$OUT/RUNNING"
 echo "== genome demo (5 chrom x 200k SNPs, fast) =="
 rm -rf /tmp/tpu_demo
 timeout 7200 python "$REPO/examples/genome_demo.py" /tmp/tpu_demo --approx \

@@ -138,9 +138,36 @@ def _ref_c_numbers() -> dict:
         return {}
 
 
+def _wait_for_capture_battery(max_wait_s: int = 5400) -> None:
+    """If the tunnel-watcher's one-shot capture battery is mid-run
+    (baseline/tunnel_watch.sh -> run_tpu_capture.sh), wait for it: two
+    concurrent claimants of the single remote chip have been observed
+    to wedge the tunnel, and the driver-invoked bench must not sabotage
+    (or be sabotaged by) the battery.  The lock is the battery's
+    RUNNING marker; stale markers (no mtime progress for 2h) are
+    ignored."""
+    import os
+
+    if os.environ.get("CAPTURE_BATTERY") == "1":
+        return  # invoked BY the battery itself — its own marker is ours
+    lock = pathlib.Path(__file__).parent / "baseline" / "tpu_capture" / "RUNNING"
+    waited = 0
+    while lock.exists() and waited < max_wait_s:
+        if time.time() - lock.stat().st_mtime > 7200:
+            break  # stale: battery died without cleanup
+        if waited == 0:
+            print(
+                "[bench] TPU capture battery in progress - waiting",
+                file=sys.stderr,
+            )
+        time.sleep(60)
+        waited += 60
+
+
 def main() -> None:
     import os
 
+    _wait_for_capture_battery()
     cpu_fallback = False
     attempts = int(os.environ.get("BENCH_PROBE_ATTEMPTS", "3"))
     # BENCH_FORCE_FULL=1: run the full (TPU-shaped) benchmark on whatever
