@@ -26,6 +26,10 @@ bug (gsl_shim dgemm read C at beta=0, NaN-poisoning the reference's
 reused scratch matrices across windows — real BLAS treats beta=0 as
 write-only).
 
+The helpers here (:func:`write_gtrack`, :func:`run_ref`,
+:func:`ensure_binaries`, :func:`draw_trial`) are the single shared
+implementation — tests/test_ref_c_differential.py imports them.
+
 Run: ``python -m divergence_tpu.tools.fuzz_ref --trials 40 [--seed0 N]``
 """
 
@@ -35,6 +39,7 @@ import argparse
 import json
 import os
 import pathlib
+import shutil
 import subprocess
 import sys
 import tempfile
@@ -46,7 +51,43 @@ BASELINE = REPO / "baseline"
 CODES = np.array([3.0, -3.0, 0.0, -10000.0])
 
 
-def _write_gtrack(path, positions, mat):
+def ensure_binaries() -> bool:
+    """Build (or rebuild) the reference baseline binaries when any
+    input source is newer than the oldest output — a stale gsl_shim or
+    faketime build would report phantom 'bugs'.  Returns False when the
+    toolchain is unavailable."""
+    outs = [
+        BASELINE / "build" / n
+        for n in ("bench_ref_fet", "bench_ref_css", "bench_ref_fet_strict",
+                  "bench_ref_css_strict", "libfaketime.so")
+    ]
+    srcs = [
+        BASELINE / "bench_ref_fet.c",
+        BASELINE / "bench_ref_css.c",
+        BASELINE / "gslshim" / "gsl_shim.c",
+        BASELINE / "faketime.c",
+        BASELINE / "build.sh",
+    ]
+    stale = not all(o.exists() for o in outs) or any(
+        s.stat().st_mtime > min(o.stat().st_mtime for o in outs)
+        for s in srcs
+    )
+    if stale:
+        r = subprocess.run(
+            ["bash", str(BASELINE / "build.sh")],
+            capture_output=True,
+            text=True,
+        )
+        if r.returncode != 0:
+            return False
+    return True
+
+
+def write_gtrack(path, positions, mat) -> None:
+    """Valued-points rows in the layout the baseline drivers read
+    (5 '#' header lines, then seqid/pos/value; %.17g so frequency
+    tracks round-trip exactly — the C parses this file while
+    oracle/engine use the in-memory array)."""
     with open(path, "w") as f:
         for _ in range(5):
             f.write("#h\n")
@@ -56,7 +97,9 @@ def _write_gtrack(path, positions, mat):
                 f.write(f"chr1\t{p}\t{v:.17g}\n")
 
 
-def _run_ref(binary, fa, fb, dump, extra=(), env=None):
+def run_ref(binary, fa, fb, dump, extra=(), env=None, aux=False):
+    """Run a baseline driver in serial DUMP_SCORES mode; returns the
+    score column ([:, 1]) or (score, aux) when ``aux``."""
     e = dict(os.environ, DUMP_SCORES=str(dump))
     if env:
         e.update(env)
@@ -71,19 +114,49 @@ def _run_ref(binary, fa, fb, dump, extra=(), env=None):
         raise RuntimeError(r.stderr[-300:])
     rows = np.loadtxt(dump, ndmin=2)
     if rows.size == 0:
-        return np.zeros(0)
+        empty = np.zeros(0)
+        return (empty, empty) if aux else empty
+    if aux:
+        return rows[:, 1], rows[:, 2]
     return rows[:, 1]
+
+
+def draw_trial(rng: np.random.Generator, dros: bool):
+    """One fuzz trial's panel + geometry (the canonical draw sequence —
+    tests replaying a specific trial, e.g. the tie-heavy t6, import
+    this so the claim can't silently drift)."""
+    npos = int(rng.integers(30, 1500))
+    region = int(npos * rng.integers(15, 100))
+    wsize = int(rng.integers(200, 5000))
+    wstep = int(rng.integers(50, wsize + 1))
+    positions = np.sort(rng.choice(np.arange(1, region), npos, replace=False))
+    if dros:
+        asize = bsize = 1
+        amat = rng.uniform(0, 1, (npos, 1))
+        bmat = rng.uniform(0, 1, (npos, 1))
+    else:
+        asize = int(rng.integers(1, 14))
+        bsize = int(rng.integers(1, 14))
+        conc = rng.choice(
+            [np.array([3, 3, 1.5, .4]), np.array([1, 1, 1, 3]),
+             np.array([8, 1, 1, 1])]
+        )
+        probs = rng.dirichlet(conc)
+        amat = rng.choice(CODES, size=(npos, asize), p=probs)
+        bmat = rng.choice(CODES, size=(npos, bsize), p=probs)
+    return positions, amat, bmat, asize, bsize, wsize, wstep
 
 
 def _window_mds_unstable(orc, amat, bmat, positions, start, wsize, mds,
                          asize, bsize, rtol=1e-6):
     """True when the window's MDS solution is solver-dependent
-    (deviation 8): a tied 2nd/3rd CMDS eigenvalue makes the retained
-    2-D subspace arbitrary, and for mds=2 a dynamical-stability probe —
-    perturb the CMDS start by 1e-9 and re-refine — detects windows
-    where SMACOF's up-to-300 iterations amplify solver-level noise
-    chaotically (near-degenerate spectra produce long flat stress
-    valleys).  Also True for discarded/empty windows."""
+    (docs/PARITY.md deviation 8): a tied 2nd/3rd CMDS eigenvalue makes
+    the retained 2-D subspace arbitrary; a mathematically-zero 2nd
+    eigenvalue makes the reference's sqrt NaN-or-not on sign noise; and
+    for mds=2 a perturb-and-refine probe detects flat SMACOF stress
+    valleys.  Also True for discarded/empty windows and for m < 3
+    panels (a 2x2 dissimilarity centers to rank <= 1: the 2nd
+    eigenvalue is mathematically zero by construction)."""
     lo, hi = orc.window_bounds(positions, start, start + wsize)
     if hi <= lo:
         return True
@@ -92,6 +165,8 @@ def _window_mds_unstable(orc, amat, bmat, positions, start, wsize, mds,
     if filled is None:
         return True
     m = filled.shape[0]
+    if m < 3:
+        return True
     d2 = filled ** 2
     j = np.eye(m) - np.ones((m, m)) / m
     evals = np.sort(np.linalg.eigvalsh(-0.5 * j @ d2 @ j))[::-1]
@@ -137,45 +212,27 @@ def fuzz(trials: int, seed0: int) -> dict:
     from divergence_tpu.oracle import compute_css, compute_fet
     from divergence_tpu.oracle import reference as orc
 
+    if not ensure_binaries():
+        raise RuntimeError("baseline toolchain unavailable")
     fet_bin = BASELINE / "build" / "bench_ref_fet"
     css_bin = BASELINE / "build" / "bench_ref_css"
-    if not fet_bin.exists():
-        subprocess.run(["bash", str(BASELINE / "build.sh")], check=True)
 
     tmp = pathlib.Path(tempfile.mkdtemp(prefix="fuzzref_"))
     stats = {"trials": 0, "fet_tie_windows": 0, "css_degenerate_windows": 0,
-             "bugs": []}
+             "workdir": str(tmp), "bugs": []}
 
     for trial in range(trials):
         rng = np.random.default_rng(seed0 + trial)
         dros = trial % 6 == 5
-        npos = int(rng.integers(30, 1500))
-        region = int(npos * rng.integers(15, 100))
-        wsize = int(rng.integers(200, 5000))
-        wstep = int(rng.integers(50, wsize + 1))
-        positions = np.sort(
-            rng.choice(np.arange(1, region), npos, replace=False)
+        positions, amat, bmat, asize, bsize, wsize, wstep = draw_trial(
+            rng, dros
         )
-        if dros:
-            asize = bsize = 1
-            amat = rng.uniform(0, 1, (npos, 1))
-            bmat = rng.uniform(0, 1, (npos, 1))
-        else:
-            asize = int(rng.integers(1, 14))
-            bsize = int(rng.integers(1, 14))
-            conc = rng.choice(
-                [np.array([3, 3, 1.5, .4]), np.array([1, 1, 1, 3]),
-                 np.array([8, 1, 1, 1])]
-            )
-            probs = rng.dirichlet(conc)
-            amat = rng.choice(CODES, size=(npos, asize), p=probs)
-            bmat = rng.choice(CODES, size=(npos, bsize), p=probs)
         regend = int(positions[-1]) + 1
         if regend // wstep == 0:
             continue
         fa, fb = tmp / "a.gtrack", tmp / "b.gtrack"
-        _write_gtrack(fa, positions, amat)
-        _write_gtrack(fb, positions, bmat)
+        write_gtrack(fa, positions, amat)
+        write_gtrack(fb, positions, bmat)
         geom = {"WSIZE": str(wsize), "WSTEP": str(wstep)}
         w = WindowConfig(wsize=wsize, wstep=wstep)
         apos = np.repeat(positions, asize)
@@ -183,12 +240,13 @@ def fuzz(trials: int, seed0: int) -> dict:
         av = amat.reshape(-1).astype(np.float64)
         bv = bmat.reshape(-1).astype(np.float64)
         pair = SnpPair(positions=positions, avals=amat, bvals=bmat)
-        tag = (f"t{trial} dros={dros} a={asize} b={bsize} n={npos} "
-               f"w={wsize}/{wstep}")
+        tag = (f"t{trial} dros={dros} a={asize} b={bsize} "
+               f"n={len(positions)} w={wsize}/{wstep}")
         stats["trials"] += 1
+        n_bugs_before = len(stats["bugs"])
 
         if not dros:
-            ref = _run_ref(fet_bin, fa, fb, tmp / "f.dump", env=geom)
+            ref = run_ref(fet_bin, fa, fb, tmp / "f.dump", env=geom)
             orc_s, _ = compute_fet(av, bv, apos, bpos, regend, wsize, wstep)
             eng_s, _ = run_fet(
                 pair, regend, FetConfig(window=w, bootstrap_samples=2)
@@ -213,7 +271,7 @@ def fuzz(trials: int, seed0: int) -> dict:
                         )
 
         mds = int(rng.integers(0, 2)) * 2
-        refc = _run_ref(
+        refc = run_ref(
             css_bin, fa, fb, tmp / "c.dump",
             extra=(regend, mds, int(dros)),
             env={**geom, "CSS_TRESHOLD": "1", "CSS_RUNS": "2"},
@@ -227,30 +285,45 @@ def fuzz(trials: int, seed0: int) -> dict:
             CssConfig(window=w, mc_threshold=1, mc_runs=2, mds=mds,
                       drosophila=dros),
         )
+        # equal_nan: a genuinely negative 2nd eigenvalue NaNs the window
+        # on BOTH sides (reference sqrt and ours) — that is agreement.
+        # Classify each mismatching SLOT once (the probe is expensive
+        # and a ref-vs-oracle mismatch almost always doubles as
+        # ref-vs-engine).
+        bad_slots: dict[int, list[str]] = {}
         for name, ours in (("oracle", orc_c), ("engine", eng_c)):
-            # equal_nan: a genuinely negative 2nd eigenvalue NaNs the
-            # window on BOTH sides (reference sqrt and ours) — agreement
-            bad = np.nonzero(
+            for i in np.nonzero(
                 ~np.isclose(refc, ours, rtol=1e-6, atol=1e-8,
                             equal_nan=True)
-            )[0]
-            for i in bad:
-                if dros:
-                    stats["bugs"].append(
-                        f"{tag}: CSS(dros) slot {i} ref={refc[i]} "
-                        f"{name}={ours[i]}"
-                    )
-                elif _window_mds_unstable(
-                    orc, amat, bmat, positions, int(i) * wstep, wsize,
-                    mds, asize, bsize,
-                ):
-                    stats["css_degenerate_windows"] += 1  # deviation 8
-                else:
-                    stats["bugs"].append(
-                        f"{tag}: CSS mds={mds} slot {i} ref={refc[i]} "
-                        f"{name}={ours[i]} (non-degenerate spectrum)"
-                    )
-        print(f"[fuzz] ok {tag}", file=sys.stderr)
+            )[0]:
+                bad_slots.setdefault(int(i), []).append(
+                    f"{name}={ours[i]}"
+                )
+        for i, sides in sorted(bad_slots.items()):
+            if not dros and _window_mds_unstable(
+                orc, amat, bmat, positions, i * wstep, wsize,
+                mds, asize, bsize,
+            ):
+                stats["css_degenerate_windows"] += 1  # deviation 8
+            else:
+                stats["bugs"].append(
+                    f"{tag}: CSS mds={mds} dros={dros} slot {i} "
+                    f"ref={refc[i]} {' '.join(sides)}"
+                )
+
+        if len(stats["bugs"]) > n_bugs_before:
+            # preserve the repro inputs (a.gtrack/b.gtrack get
+            # overwritten by the next trial)
+            shutil.copy(fa, tmp / f"trial{trial}_a.gtrack")
+            shutil.copy(fb, tmp / f"trial{trial}_b.gtrack")
+            print(
+                f"[fuzz] BUGS {tag} "
+                f"(+{len(stats['bugs']) - n_bugs_before}; inputs kept "
+                f"in {tmp})",
+                file=sys.stderr,
+            )
+        else:
+            print(f"[fuzz] ok {tag}", file=sys.stderr)
     return stats
 
 

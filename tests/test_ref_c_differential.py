@@ -8,18 +8,21 @@ oracle == engine (tests/test_*_kernel.py) with reference-C == oracle,
 so every parity claim in docs/PARITY.md is anchored to the real C
 binary, not just our restatement of its semantics.
 
-Only the deterministic columns are comparable: the reference seeds its
-bootstrap/MC PRNG from the wall clock (cFisher.c:79-81, css.c:112-115),
-so FET stddev and CSS p differ by design (SURVEY.md §7 hard part 5).
+The stochastic columns (bootstrap stddev, MC p) are compared
+distributionally AND exactly under the faketime preload: the reference
+seeds its PRNGs from the wall clock (reference
+statistics/fisher/cFisher.c:78, statistics/css/css.c:112-115), which
+LD_PRELOAD baseline/build/libfaketime.so pins so the oracle's rand48
+replicas can match bit-for-bit.
 
+Shared GTrack/driver helpers come from divergence_tpu.tools.fuzz_ref —
+one implementation for the fixed-panel tests and the randomized sweep.
 Skipped when gcc/the baseline build is unavailable.
 """
 
 from __future__ import annotations
 
-import os
 import pathlib
-import subprocess
 import sys
 
 import numpy as np
@@ -30,66 +33,35 @@ BASELINE = REPO / "baseline"
 sys.path.insert(0, str(REPO))
 
 from bench import make_chromosome  # noqa: E402
+from divergence_tpu.tools.fuzz_ref import (  # noqa: E402
+    draw_trial,
+    ensure_binaries,
+    run_ref as _run_ref,
+    write_gtrack as _write_gtrack,
+)
 
 
 @pytest.fixture(scope="module")
 def binaries():
-    fet = BASELINE / "build" / "bench_ref_fet"
-    css = BASELINE / "build" / "bench_ref_css"
-    srcs = [
-        BASELINE / "bench_ref_fet.c",
-        BASELINE / "bench_ref_css.c",
-        BASELINE / "gslshim" / "gsl_shim.c",
-        BASELINE / "build.sh",
-    ]
-    stale = not fet.exists() or any(
-        s.stat().st_mtime > fet.stat().st_mtime for s in srcs
+    if not ensure_binaries():
+        pytest.skip("baseline build unavailable")
+    return (
+        BASELINE / "build" / "bench_ref_fet",
+        BASELINE / "build" / "bench_ref_css",
     )
-    if stale:
-        r = subprocess.run(
-            ["bash", str(BASELINE / "build.sh")],
-            capture_output=True,
-            text=True,
-        )
-        if r.returncode != 0:
-            pytest.skip(f"baseline build unavailable: {r.stderr[-200:]}")
-    return fet, css
 
 
-def _write_gtrack(path, positions, mat):
-    # the layout baseline/bench_ref_*.c read: 5 header lines, then
-    # position-major seqid\tpos\tval rows (testFisher.c:190-230)
-    with open(path, "w") as f:
-        f.write("##gtrack version: 1.0\n")
-        f.write("##track type: valued points\n")
-        f.write("###seqid\tstart\tvalue\n")
-        f.write("# differential parity fixture\n")
-        f.write("#\n")
-        for k in range(positions.shape[0]):
-            p = int(positions[k])
-            for v in mat[k]:
-                # %.17g: frequency tracks must round-trip exactly — the C
-                # binary reads this file while oracle/engine use the
-                # in-memory array
-                f.write(f"chr1\t{p}\t{v:.17g}\n")
-
-
-def _run_ref(binary, fa, fb, dump, extra=(), env=None, aux=False):
-    e = dict(os.environ, DUMP_SCORES=str(dump))
-    if env:
-        e.update(env)
-    r = subprocess.run(
-        [str(binary), str(fa), str(fb), "serial", *map(str, extra)],
-        capture_output=True,
-        text=True,
-        timeout=600,
-        env=e,
-    )
-    assert r.returncode == 0, r.stderr
-    rows = np.loadtxt(dump)
-    if aux:
-        return rows[:, 1], rows[:, 2]
-    return rows[:, 1]
+def _preload_effective(binary, fa, fb, tmp, extra=(), env=None):
+    """True when the faketime preload actually interposes time():
+    different FAKE_TIME values must yield different stochastic columns.
+    (Running the same FAKE_TIME twice is NOT a valid probe — without
+    interposition both runs can land in the same wall-clock second.)"""
+    env = env or {}
+    _, a1 = _run_ref(binary, fa, fb, tmp / "pe1.dump", extra=extra,
+                     env={**env, "FAKE_TIME": "42"}, aux=True)
+    _, a2 = _run_ref(binary, fa, fb, tmp / "pe2.dump", extra=extra,
+                     env={**env, "FAKE_TIME": "12345"}, aux=True)
+    return not np.array_equal(a1, a2)
 
 
 @pytest.fixture(scope="module")
@@ -222,20 +194,13 @@ def test_tie_heavy_panel_c_replica_matches_reference_c(binaries, tmp_path):
     from divergence_tpu.oracle import reference as orc
 
     fet_bin, _ = binaries
-    rng = np.random.default_rng(5006)  # fuzz trial t6
-    codes = np.array([3.0, -3.0, 0.0, -10000.0])
-    npos = int(rng.integers(30, 1500))
-    region = int(npos * rng.integers(15, 100))
-    wsize = int(rng.integers(200, 5000))
-    wstep = int(rng.integers(50, wsize + 1))
-    positions = np.sort(rng.choice(np.arange(1, region), npos, replace=False))
-    asize = int(rng.integers(1, 14))
-    bsize = int(rng.integers(1, 14))
-    conc = rng.choice([np.array([3, 3, 1.5, .4]), np.array([1, 1, 1, 3]),
-                       np.array([8, 1, 1, 1])])
-    probs = rng.dirichlet(conc)
-    amat = rng.choice(codes, size=(npos, asize), p=probs)
-    bmat = rng.choice(codes, size=(npos, bsize), p=probs)
+    # fuzz trial t6's exact draw sequence, via the harness's own
+    # generator so the "fuzz trial" claim cannot silently drift
+    rng = np.random.default_rng(5006)
+    positions, amat, bmat, asize, bsize, wsize, wstep = draw_trial(
+        rng, dros=False
+    )
+    assert (asize, bsize) == (7, 13)  # the documented tie-heavy panel
     fa, fb = tmp_path / "a.gtrack", tmp_path / "b.gtrack"
     _write_gtrack(fa, positions, amat)
     _write_gtrack(fb, positions, bmat)
@@ -389,13 +354,12 @@ def test_fet_stddev_bitwise_under_faketime(binaries, panel):
     tmp, fa, fb, positions, amat, bmat = panel
     regend = int(positions[-1]) + 1
 
+    if not _preload_effective(fet_bin, fa, fb, tmp,
+                              env={"LD_PRELOAD": str(lib)}):
+        pytest.skip("time() preload not effective on this platform")
     env = {"LD_PRELOAD": str(lib), "FAKE_TIME": "42"}
     ref_s1, ref_d1 = _run_ref(fet_bin, fa, fb, tmp / "ft1.dump",
                               env=env, aux=True)
-    ref_s2, ref_d2 = _run_ref(fet_bin, fa, fb, tmp / "ft2.dump",
-                              env=env, aux=True)
-    if not np.array_equal(ref_d1, ref_d2):
-        pytest.skip("time() preload not effective on this platform")
     assert (ref_d1 != 0).sum() > 100  # the clock pin really ran the C
 
     apos, avals = _flat(positions, amat)
@@ -407,36 +371,56 @@ def test_fet_stddev_bitwise_under_faketime(binaries, panel):
     np.testing.assert_allclose(ref_d1, rep_d, rtol=1e-12, atol=1e-14)
 
 
-def test_css_pvalues_exact_under_faketime(binaries, panel):
+def test_css_pvalues_exact_under_faketime(binaries, tmp_path):
     """CSS MC p, pinned: with the clock preload fixing the reference's
     nrand48 seed, the oracle replica reproduces the compiled C's exact
     p = (hits+1)/(runs+1) per window — same cumulative Fisher-Yates
     stream over the chromosome-persistent signtracks array.  Fixed-n
     protocol; a comparison inside the ~1e-15 eigensolver margin may
     flip one hit, so a tiny number of windows may differ by exactly
-    1/(runs+1)."""
+    1/(runs+1).
+
+    The panel is NULL-ish (both populations drawn from one shared
+    allele-frequency field): on a divergent panel every window gets 0
+    hits and p = 1/(runs+1) regardless of the stream, which would make
+    this test — and the preload-effectiveness probe — vacuous."""
     from divergence_tpu.oracle import reference as orc
 
     _, css_bin = binaries
     lib = BASELINE / "build" / "libfaketime.so"
     if not lib.exists():
         pytest.skip("faketime shim not built")
-    tmp, fa, fb, positions, amat, bmat = panel
+    rng = np.random.default_rng(5)
+    npos, region, asize, bsize = 1500, 90_000, 6, 5
+    positions = np.sort(rng.choice(np.arange(1, region), npos, replace=False))
+    p_major = rng.uniform(0.2, 0.9, size=(npos, 1))
+
+    def draw(size):
+        g = rng.random((npos, size))
+        het = p_major * (1 - p_major) * 2
+        return np.where(
+            g < p_major ** 2,
+            3.0,
+            np.where(g < p_major ** 2 + het, 0.0, -3.0),
+        )
+
+    amat, bmat = draw(asize), draw(bsize)
+    tmp = tmp_path
+    fa, fb = tmp / "a.gtrack", tmp / "b.gtrack"
+    _write_gtrack(fa, positions, amat)
+    _write_gtrack(fb, positions, bmat)
     regend = int(positions[-1]) + 1
     runs = 400
 
-    env = {
+    mc_env = {
         "LD_PRELOAD": str(lib),
-        "FAKE_TIME": "42",
         "CSS_TRESHOLD": "1000000",
         "CSS_RUNS": str(runs),
     }
-    ref_s1, ref_p1 = _run_ref(css_bin, fa, fb, tmp / "cft1.dump",
-                              env=env, aux=True)
-    ref_s2, ref_p2 = _run_ref(css_bin, fa, fb, tmp / "cft2.dump",
-                              env=env, aux=True)
-    if not np.array_equal(ref_p1, ref_p2):
+    if not _preload_effective(css_bin, fa, fb, tmp, env=mc_env):
         pytest.skip("time() preload not effective on this platform")
+    ref_s1, ref_p1 = _run_ref(css_bin, fa, fb, tmp / "cft1.dump",
+                              env={**mc_env, "FAKE_TIME": "42"}, aux=True)
 
     apos, avals = _flat(positions, amat)
     bpos, bvals = _flat(positions, bmat)
@@ -481,19 +465,17 @@ def test_css_smacof_mode_exact_under_faketime(binaries, tmp_path):
     regend = int(positions[-1]) + 1
     runs = 100
 
-    env = {
+    mc_env = {
         "LD_PRELOAD": str(lib),
-        "FAKE_TIME": "42",
         "CSS_TRESHOLD": "1000000",
         "CSS_RUNS": str(runs),
     }
-    ref_s1, ref_p1 = _run_ref(css_strict, fa, fb, tmp_path / "s1.dump",
-                              extra=(regend, 1), env=env, aux=True)
-    ref_s2, ref_p2 = _run_ref(css_strict, fa, fb, tmp_path / "s2.dump",
-                              extra=(regend, 1), env=env, aux=True)
-    if not (np.array_equal(ref_s1, ref_s2)
-            and np.array_equal(ref_p1, ref_p2)):
+    if not _preload_effective(css_strict, fa, fb, tmp_path,
+                              extra=(regend, 1), env=mc_env):
         pytest.skip("time() preload not effective on this platform")
+    ref_s1, ref_p1 = _run_ref(css_strict, fa, fb, tmp_path / "s1.dump",
+                              extra=(regend, 1),
+                              env={**mc_env, "FAKE_TIME": "42"}, aux=True)
 
     apos, avals = _flat(positions, amat)
     bpos, bvals = _flat(positions, bmat)
