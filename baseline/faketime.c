@@ -1,8 +1,9 @@
 /* LD_PRELOAD shim: pin time(NULL) to FAKE_TIME (default 42).
  *
- * The reference seeds every PRNG from the wall clock (cFisher.c:77-79,
- * css.c:112-115: an unsigned-short truncation of time(NULL) for
- * nrand48, srand48(time(NULL)) for the SMACOF restarts), which is the
+ * The reference seeds every PRNG from the wall clock (reference
+ * statistics/fisher/cFisher.c:77-79, statistics/css/css.c:112-115: an
+ * unsigned-short truncation of time(NULL) for nrand48,
+ * srand48(time(NULL)) for the SMACOF restarts), which is the
  * ONLY obstacle to differentially testing its stochastic outputs.
  * Preloading this shim makes the compiled reference fully
  * deterministic, so the oracle's exact rand48 replicas
