@@ -40,8 +40,12 @@ class WindowConfig:
     def __post_init__(self) -> None:
         if self.wsize <= 0 or self.wstep <= 0:
             raise ValueError("wsize and wstep must be positive")
-        if self.wsize < self.wstep:
-            raise ValueError("wsize must be >= wstep")
+        # wstep > wsize (sparse, non-overlapping sampling) is legal: the
+        # reference validates only integer-ness (reference
+        # tools/FisherExactTestSNPTool.py:199-223) and the window-loop
+        # semantics are well-defined for any positive geometry
+        # (tests/test_ref_c_differential.py::
+        #  test_sparse_window_geometry_matches_reference_c)
 
     def num_slots(self, regend: int) -> int:
         """Length of the output score arrays.

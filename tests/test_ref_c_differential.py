@@ -272,6 +272,45 @@ def test_odd_window_geometry_matches_reference_c(binaries, panel):
     np.testing.assert_allclose(ref, eng, rtol=1e-7, atol=1e-9)
 
 
+def test_sparse_window_geometry_matches_reference_c(binaries, panel):
+    """wstep > wsize (sparse, non-overlapping sampling — legal in the
+    reference, whose GUI validates only integer-ness): FET and CSS
+    scores match the compiled C slot for slot."""
+    from divergence_tpu.config import CssConfig, FetConfig, WindowConfig
+    from divergence_tpu.engine import run_css, run_fet
+    from divergence_tpu.engine.snp import SnpPair
+    from divergence_tpu.oracle import compute_css, compute_fet
+
+    fet_bin, css_bin = binaries
+    tmp, fa, fb, positions, amat, bmat = panel
+    regend = int(positions[-1]) + 1
+    wsize, wstep = 900, 2100
+    geom = {"WSIZE": str(wsize), "WSTEP": str(wstep)}
+    w = WindowConfig(wsize=wsize, wstep=wstep)
+    apos, avals = _flat(positions, amat)
+    bpos, bvals = _flat(positions, bmat)
+    pair = SnpPair(positions=positions, avals=amat, bvals=bmat)
+
+    ref = _run_ref(fet_bin, fa, fb, tmp / "sp_f.dump", env=geom)
+    orc, _ = compute_fet(avals, bvals, apos, bpos, regend, wsize, wstep)
+    assert (ref != 0).sum() > 10
+    np.testing.assert_allclose(ref, orc, rtol=1e-9, atol=1e-12)
+    eng, _ = run_fet(pair, regend, FetConfig(window=w, bootstrap_samples=4))
+    np.testing.assert_allclose(ref, eng, rtol=1e-9, atol=1e-12)
+
+    ref = _run_ref(
+        css_bin, fa, fb, tmp / "sp_c.dump",
+        env={**geom, "CSS_TRESHOLD": "2", "CSS_RUNS": "20"},
+    )
+    orc, _ = compute_css(avals, bvals, apos, bpos, regend, wsize, wstep,
+                         threshold=2, runs=20)
+    np.testing.assert_allclose(ref, orc, rtol=1e-7, atol=1e-9)
+    eng, _ = run_css(
+        pair, regend, CssConfig(window=w, mc_threshold=2, mc_runs=20)
+    )
+    np.testing.assert_allclose(ref, eng, rtol=1e-7, atol=1e-9)
+
+
 def test_css_pvalues_match_reference_c_distribution(binaries, panel):
     """CSS MC p-values vs the compiled C, distributionally: with the
     early-stop threshold above the runs cap both sides evaluate exactly
