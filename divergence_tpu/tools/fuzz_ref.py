@@ -121,14 +121,17 @@ def run_ref(binary, fa, fb, dump, extra=(), env=None, aux=False):
     return rows[:, 1]
 
 
-def draw_trial(rng: np.random.Generator, dros: bool):
+def draw_trial(rng: np.random.Generator, dros: bool, sparse: bool = False):
     """One fuzz trial's panel + geometry (the canonical draw sequence —
     tests replaying a specific trial, e.g. the tie-heavy t6, import
-    this so the claim can't silently drift)."""
+    this so the claim can't silently drift).  ``sparse`` widens the
+    step draw to wstep in [50, 3*wsize] (non-overlapping sampling is
+    reference-legal); the default sequence is unchanged."""
     npos = int(rng.integers(30, 1500))
     region = int(npos * rng.integers(15, 100))
     wsize = int(rng.integers(200, 5000))
-    wstep = int(rng.integers(50, wsize + 1))
+    hi = 3 * wsize if sparse else wsize + 1
+    wstep = int(rng.integers(50, hi))
     positions = np.sort(rng.choice(np.arange(1, region), npos, replace=False))
     if dros:
         asize = bsize = 1
@@ -204,7 +207,7 @@ def _window_mds_unstable(orc, amat, bmat, positions, start, wsize, mds,
     return False
 
 
-def fuzz(trials: int, seed0: int) -> dict:
+def fuzz(trials: int, seed0: int, sparse: bool = False) -> dict:
     from divergence_tpu.config import CssConfig, FetConfig, WindowConfig
     from divergence_tpu.engine.css_engine import run_css
     from divergence_tpu.engine.fet_engine import run_fet
@@ -225,7 +228,7 @@ def fuzz(trials: int, seed0: int) -> dict:
         rng = np.random.default_rng(seed0 + trial)
         dros = trial % 6 == 5
         positions, amat, bmat, asize, bsize, wsize, wstep = draw_trial(
-            rng, dros
+            rng, dros, sparse=sparse
         )
         regend = int(positions[-1]) + 1
         if regend // wstep == 0:
@@ -331,8 +334,10 @@ def main(argv=None) -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--trials", type=int, default=40)
     ap.add_argument("--seed0", type=int, default=5000)
+    ap.add_argument("--sparse", action="store_true",
+                    help="widen the step draw to wstep <= 3*wsize")
     args = ap.parse_args(argv)
-    stats = fuzz(args.trials, args.seed0)
+    stats = fuzz(args.trials, args.seed0, sparse=args.sparse)
     print(json.dumps(stats, indent=2))
     return 1 if stats["bugs"] else 0
 
