@@ -17,9 +17,9 @@ from divergence_tpu.stats.regions import bh_threshold, merge_windows
 )
 def test_window_plan_matches_reference_loop(regend, wsize, wstep):
     """plan_windows must emit exactly the starts of the reference's serial
-    loop `while (start + wsize <= regend + wstep)` (css.c:117)."""
-    if wsize < wstep:
-        wsize, wstep = wstep, wsize
+    loop `while (start + wsize <= regend + wstep)` (reference
+    statistics/css/css.c:117) — for ANY positive geometry, including
+    sparse wstep > wsize."""
     want = []
     start = 0
     while start + wsize <= regend + wstep:
