@@ -42,45 +42,69 @@ def parse_analysis_def(s: str) -> tuple[str, dict[str, str]]:
     return m.group(1), kwargs
 
 
+def _require(kw: dict[str, str], keys: list[str], stat: str) -> None:
+    """The reference adapters index their kwargs directly
+    (``self._kwArgs['wSize']``, reference
+    statistics/FisherExactScoreStat.py:44-50), so a missing or typo'd
+    (case-sensitive) key fails loudly there; silently defaulting here
+    would run a wrong-geometry scan with no diagnostic."""
+    missing = [k for k in keys if k not in kw]
+    if missing:
+        raise ValueError(
+            f"analysisDef for {stat} is missing kwargs {missing} "
+            f"(got {sorted(kw)}; keys are case-sensitive)"
+        )
+
+
 def config_from_analysis_def(s: str) -> FetConfig | CssConfig:
     """Typed engine config from an analysisDef string.
 
     Numeric kwargs accept the ``%g`` formatting the reference emits
     (``2500`` or ``2.5e+03``); the CSS ``func`` flag is the string
     ``"True"``/``"False"`` exactly as the adapter compares it
-    (reference statistics/CategoryClusterSeparationStat.py:60)."""
+    (reference statistics/CategoryClusterSeparationStat.py:60).
+    Missing keys raise, mirroring the reference adapters' direct
+    ``_kwArgs[...]`` lookups."""
     stat, kw = parse_analysis_def(s)
-    window = WindowConfig(
-        wsize=int(float(kw.get("wSize", 2500))),
-        wstep=int(float(kw.get("wStep", 500))),
-    )
     if stat == FET_STAT:
-        return FetConfig(
-            window=window,
-            percentile=float(kw.get("percentile", 0.95)),
+        _require(kw, ["wSize", "wStep", "percentile"], stat)
+        window = WindowConfig(
+            wsize=int(float(kw["wSize"])), wstep=int(float(kw["wStep"]))
         )
+        return FetConfig(window=window, percentile=float(kw["percentile"]))
     if stat == CSS_STAT:
+        _require(kw, ["wSize", "wStep", "mcT", "mcR", "func", "mds"], stat)
+        window = WindowConfig(
+            wsize=int(float(kw["wSize"])), wstep=int(float(kw["wStep"]))
+        )
         return CssConfig(
             window=window,
-            mc_threshold=int(float(kw.get("mcT", 10))),
-            mc_runs=int(float(kw.get("mcR", 200_000))),
-            drosophila=kw.get("func", "False") == "True",
-            mds=MdsAlgorithm(int(float(kw.get("mds", 0)))),
+            mc_threshold=int(float(kw["mcT"])),
+            mc_runs=int(float(kw["mcR"])),
+            drosophila=kw["func"] == "True",
+            mds=MdsAlgorithm(int(float(kw["mds"]))),
         )
     raise ValueError(f"unknown statistic {stat!r} in analysisDef")
 
 
 def build_analysis_def(cfg: FetConfig | CssConfig) -> str:
-    """The reference-format analysisDef string for a typed config."""
+    """The reference-format analysisDef string for a typed config.
+
+    Integer fields are emitted as plain integers: the reference's own
+    ``%g`` (reference tools/FisherExactTestSNPTool.py:169) switches to
+    exponent notation above 6 significant digits, which its adapter's
+    bare ``int(...)`` cannot parse back and which silently rounds the
+    geometry — for the values the GUI defaults produce the two formats
+    are byte-identical."""
     w = cfg.window
     if isinstance(cfg, FetConfig):
         return (
-            "Dummy: dummy name ([wStep=%g] [wSize=%g] [percentile=%g])"
+            "Dummy: dummy name ([wStep=%d] [wSize=%d] [percentile=%g])"
             "-> %s" % (w.wstep, w.wsize, cfg.percentile, FET_STAT)
         )
     return (
-        "Dummy: dummy name ([wStep=%g] [wSize=%s] [func=%s] [mds=%s] "
-        "[mcT=%s] [mcR=%s])-> %s"
+        "Dummy: dummy name ([wStep=%d] [wSize=%d] [func=%s] [mds=%d] "
+        "[mcT=%d] [mcR=%d])-> %s"
         % (
             w.wstep,
             w.wsize,

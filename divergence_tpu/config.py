@@ -204,6 +204,15 @@ class FetFilterConfig:
     norm_quantile: float = 0.999
     stddev_percentile: float = 75.0
 
+    def __post_init__(self) -> None:
+        if self.max_distance < 0:
+            raise ValueError("max_distance must be >= 0")
+        if not 0.0 < self.norm_quantile < 1.0:
+            # 1.0 would put qnorm at +inf and silently call zero regions
+            raise ValueError("norm_quantile must be in (0, 1)")
+        if not 0.0 <= self.stddev_percentile <= 100.0:
+            raise ValueError("stddev_percentile must be in [0, 100]")
+
 
 @dataclasses.dataclass(frozen=True)
 class CssRegionConfig:
@@ -218,3 +227,9 @@ class CssRegionConfig:
     def __post_init__(self) -> None:
         if self.mode not in ("fdr", "top"):
             raise ValueError("mode must be 'fdr' or 'top'")
+        if not 0.0 < self.fdr <= 1.0:
+            raise ValueError("fdr must be in (0, 1]")
+        if self.num_top <= 0:
+            raise ValueError("num_top must be positive")
+        if self.window_size <= 0:
+            raise ValueError("window_size must be positive")

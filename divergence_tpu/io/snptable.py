@@ -40,9 +40,22 @@ def snp_table_to_gtrack(
     (matching the reference GUI's "comma-separated list over IDs",
     reference tools/ConvertSticklebackSnpsToGtrack.py:31).
     Returns the list of individual labels written."""
+    import itertools
+
     ids = [str(x).strip() for x in ids]
     with open(table_path) as fh:
+        # skip prose comment preamble: the header is the LAST leading
+        # '#' line that actually has tab-separated columns (a published
+        # table often starts with free-text '#' comments above it)
         first = fh.readline().rstrip("\n")
+        while (
+            first.startswith("#")
+            and len(first.lstrip("#").split("\t")) < 3
+        ):
+            nxt = fh.readline()
+            if not nxt:
+                break
+            first = nxt.rstrip("\n")
         cols = first.lstrip("#").split("\t")
         has_header = first.startswith("#") or (
             len(cols) > 1 and not cols[1].isdigit()
@@ -77,13 +90,28 @@ def snp_table_to_gtrack(
         else:
             sel = [4 + int(i) for i in ids]
             labels = ids
+            # bounds-check offsets against the first data row: an
+            # out-of-range id would otherwise produce a phantom
+            # all-missing individual with no signal (the same silent
+            # panel corruption the header branch raises on)
+            ncols = len((carry or "").split("\t"))
+            bad = [
+                i for i, col in zip(ids, sel) if col < 4 or col >= ncols
+            ]
+            if bad:
+                raise ValueError(
+                    f"individual column offsets out of range: {bad} "
+                    f"(table has {max(ncols - 4, 0)} genotype columns)"
+                )
         if not labels:
             raise ValueError("no individual IDs selected")
 
         with open(out_path, "w") as out:
             out.write(gtrack_points_header(genome))
-            lines = ([carry] if carry is not None else [])
-            for line in lines + list(data_lines):
+            lines = itertools.chain(
+                [carry] if carry is not None else [], data_lines
+            )
+            for line in lines:
                 line = line.rstrip("\n")
                 if not line or line.startswith("#"):
                     continue

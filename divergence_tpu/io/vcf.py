@@ -115,4 +115,9 @@ def _convert_stream(fh: TextIO, population: list[str], out: TextIO) -> list[str]
                 # documented deviation for robustness.
                 code = -10000
             out.write(f"{chrom}\t{pos}\t{code}\t{name}\n")
+    if header is None:
+        # a truncated/malformed VCF must fail loudly: a header-only
+        # GTrack looks valid downstream and yields silently empty
+        # results (the reference crashes with IndexError on such input)
+        raise ValueError("no #CHROM header line found — not a VCF?")
     return found

@@ -75,3 +75,39 @@ def test_errors():
         parse_analysis_def("no stat name here")
     with pytest.raises(ValueError):
         config_from_analysis_def("x ([wSize=10])-> UnknownStat")
+
+
+def test_missing_and_case_sensitive_kwargs_raise():
+    """The reference adapters index kwargs directly (KeyError on a
+    missing/typo'd key, reference statistics/FisherExactScoreStat.py:44-50);
+    silently defaulting would run a wrong-geometry scan."""
+    with pytest.raises(ValueError, match="percentile"):
+        config_from_analysis_def(
+            "x ([wStep=500] [wSize=2500])-> FisherExactScoreStat"
+        )
+    with pytest.raises(ValueError, match="wSize"):
+        # lowercase key must NOT silently fall back to the default
+        config_from_analysis_def(
+            "x ([wsize=5000] [wStep=500] [percentile=0.95])"
+            "-> FisherExactScoreStat"
+        )
+    with pytest.raises(ValueError, match="mcT"):
+        config_from_analysis_def(
+            "x ([wStep=500] [wSize=2500] [func=False] [mds=0] "
+            "[mcR=200000])-> CategoryClusterSeparationStat"
+        )
+
+
+def test_build_large_geometry_roundtrips_exactly():
+    """Integer fields are emitted as plain integers: the reference's %g
+    flips to exponent notation above 6 significant digits, silently
+    rounding wsize=1234567 to 1234570 on round-trip and producing a
+    string its own adapter's int() cannot parse."""
+    from divergence_tpu.compat.analysisdef import build_analysis_def
+    from divergence_tpu.config import FetConfig, WindowConfig
+
+    cfg = FetConfig(window=WindowConfig(wsize=1_234_567, wstep=500))
+    s = build_analysis_def(cfg)
+    assert "[wSize=1234567]" in s
+    back = config_from_analysis_def(s)
+    assert back.window.wsize == 1_234_567

@@ -118,6 +118,56 @@ def test_snptable_missing_ids_raise(tmp_path):
     assert t.size == 2 and t.npos == 2
 
 
+def test_snptable_headerless_offsets_bounds_checked(tmp_path):
+    """Headerless column offsets past the table width must be a hard
+    error — an out-of-range id would otherwise write a phantom
+    all-missing individual (the same silent panel corruption the header
+    branch raises on)."""
+    from divergence_tpu.io.snptable import snp_table_to_gtrack
+
+    table = tmp_path / "raw.tsv"
+    table.write_text(
+        "chrI\t100\tA\tG\tAA\tAG\nchrI\t200\tC\tT\tCT\tTT\n"
+    )
+    out = tmp_path / "out.gtrack"
+    with pytest.raises(ValueError, match="out of range"):
+        snp_table_to_gtrack(table, ["0", "7"], out, "g")
+    with pytest.raises(ValueError, match="out of range"):
+        snp_table_to_gtrack(table, ["-1"], out, "g")
+    labels = snp_table_to_gtrack(table, ["0", "1"], out, "g")
+    assert labels == ["0", "1"]
+    assert read_gtrack_points(out)["chrI"].size == 2
+
+
+def test_snptable_comment_preamble(tmp_path):
+    """Prose '#' comments above the real header line are skipped (the
+    published Jones-et-al tables carry a free-text preamble)."""
+    from divergence_tpu.io.snptable import snp_table_to_gtrack
+
+    table = tmp_path / "pre.tsv"
+    table.write_text(
+        "# Jones et al 2012 SNP table\n"
+        "# build gasAcu1\n"
+        "#seqid\tpos\tallele1\tallele2\tfishA\tfishB\n"
+        "chrI\t100\tA\tG\tAA\tGG\n"
+    )
+    out = tmp_path / "out.gtrack"
+    labels = snp_table_to_gtrack(table, ["fishB"], out, "g")
+    assert labels == ["fishB"]
+    t = read_gtrack_points(out)["chrI"]
+    assert t.size == 1 and float(t.vals[0]) == -3.0
+
+
+def test_vcf_without_chrom_header_raises(tmp_path):
+    """A truncated/malformed VCF (no #CHROM line) must fail loudly —
+    a header-only GTrack would yield silently empty downstream results
+    (the reference converter crashes on such input)."""
+    bad = tmp_path / "bad.vcf"
+    bad.write_text("##fileformat=VCFv4.2\n##no column header here\n")
+    with pytest.raises(ValueError, match="#CHROM"):
+        vcf_to_gtrack(bad, ["x"], tmp_path / "o.gtrack", "g")
+
+
 def test_score_track_roundtrip(tmp_path):
     scores = np.array([0.0, 1.5, 0.0, 2.5])
     stddev = np.array([0.0, 0.1, 0.0, 0.2])
