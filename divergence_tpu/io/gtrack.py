@@ -147,20 +147,34 @@ def _group_rows_indexed(
 ) -> dict[str, PopulationTrack]:
     """Group interned-index rows (native parser output).
 
-    ONE stable lexicographic argsort over (seq_idx, pos) followed by
-    searchsorted slicing — O(n log n) total, independent of the number
-    of seqids (a per-seqid mask scan is O(n_seqids * n_rows): minutes of
-    pure grouping overhead on scaffold-level assemblies with thousands
-    of seqids)."""
+    Fast path: GTrack files are normally chromosome-contiguous with
+    non-decreasing positions inside each chromosome (converters write
+    them that way), which two O(n) vectorized checks confirm — then
+    grouping is just searchsorted slicing of the arrays as-is, no sort,
+    no 3x permutation gather (~20x faster at 11M rows).  Otherwise ONE
+    stable lexsort over (seq_idx, pos) — still independent of the
+    number of seqids (a per-seqid mask scan is O(n_seqids * n_rows))."""
     tracks: dict[str, PopulationTrack] = {}
     wanted = set(seqids) if seqids is not None else None
-    # lexsort keys are last-key-major; 'stable' preserves file row order
-    # within equal (seqid, pos) — the population-size contract
-    order = np.lexsort((pos, seq_idx))
-    seq_s = seq_idx[order]
-    pos_s = pos[order]
-    val_s = vals[order]
-    bounds = np.searchsorted(seq_s, np.arange(len(names) + 1))
+    dseq = np.diff(seq_idx)
+    if np.all(dseq >= 0) and bool(
+        np.all((np.diff(pos) >= 0) | (dseq > 0))
+    ):
+        seq_s, pos_s, val_s = seq_idx, pos, vals
+    else:
+        # lexsort keys are last-key-major; stable, so file row order is
+        # preserved within equal (seqid, pos) — the population-size
+        # contract depends on it
+        order = np.lexsort((pos, seq_idx))
+        seq_s = seq_idx[order]
+        pos_s = pos[order]
+        val_s = vals[order]
+    # match the haystack dtype: a mismatched needle dtype makes
+    # searchsorted cast the FULL 11M-row array (seconds) for a 6-element
+    # binary search
+    bounds = np.searchsorted(
+        seq_s, np.arange(len(names) + 1, dtype=seq_s.dtype)
+    )
     for i, name in enumerate(names):
         if wanted is not None and name not in wanted:
             continue

@@ -107,6 +107,13 @@ inline const char* scan_f64_strict(const char* p, const char* end,
 // rows from garbage).
 void parse_chunk(const char* begin, const char* end, ChunkOut* out) {
   std::map<std::string, int32_t> interned;
+  // per-row std::string construction + map lookup dominates the parse
+  // (tens of ns x 10^7 rows); rows are overwhelmingly grouped by
+  // chromosome, so compare the raw token against the previous row's
+  // and reuse its id on match
+  const char* last_tok = nullptr;
+  size_t last_len = 0;
+  int32_t last_id = -1;
   const char* p = begin;
   while (p < end) {
     const char* line_end = static_cast<const char*>(
@@ -137,16 +144,25 @@ void parse_chunk(const char* begin, const char* end, ChunkOut* out) {
       // column 4 (genomeid) is ignored: the population-size contract
       // infers individuals from position run lengths
       // (reference statistics/css/comparative.c:25-34)
-      std::string seqid(s, static_cast<size_t>(tab1 - s));
-      auto it = interned.find(seqid);
+      size_t tok_len = static_cast<size_t>(tab1 - s);
       int32_t id;
-      if (it == interned.end()) {
-        id = static_cast<int32_t>(out->local_seqids.size());
-        out->local_seqids.push_back(seqid);
-        interned.emplace(std::move(seqid), id);
+      if (last_tok && tok_len == last_len &&
+          memcmp(s, last_tok, tok_len) == 0) {
+        id = last_id;
       } else {
-        id = it->second;
+        std::string seqid(s, tok_len);
+        auto it = interned.find(seqid);
+        if (it == interned.end()) {
+          id = static_cast<int32_t>(out->local_seqids.size());
+          out->local_seqids.push_back(seqid);
+          interned.emplace(std::move(seqid), id);
+        } else {
+          id = it->second;
+        }
+        last_id = id;
       }
+      last_tok = s;
+      last_len = tok_len;
       out->seq.push_back(id);
       out->pos.push_back(position);
       out->vals.push_back(value);

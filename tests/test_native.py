@@ -73,6 +73,40 @@ def test_native_missing_file():
     assert parse_gtrack_native("/nonexistent/file.gtrack") is None
 
 
+def test_interleaved_chromosomes_group_identically(tmp_path):
+    """The grouped/sorted fast path and the lexsort fallback must give
+    the same tracks: an interleaved file (chromosome rows alternating,
+    positions out of order) is grouped identically to its grouped,
+    sorted rewrite."""
+    rng = np.random.default_rng(8)
+    rows = []
+    for chrom in ("chrA", "chrB"):
+        positions = rng.choice(np.arange(1, 9999), 60, replace=False)
+        for p in positions:
+            for ind in range(3):
+                rows.append((chrom, int(p), float(rng.choice([3, -3, 0]))))
+    inter = rows[::2] + rows[1::2]          # interleave + scramble order
+
+    def write(path, rws):
+        with open(path, "w") as fh:
+            fh.write("#h\n")
+            for c, p, v in rws:
+                fh.write(f"{c}\t{p}\t{v:g}\tx\n")
+
+    f_grouped = tmp_path / "grouped.gtrack"
+    f_inter = tmp_path / "inter.gtrack"
+    write(f_grouped, sorted(rows, key=lambda r: (r[0], r[1])))
+    write(f_inter, inter)
+    a = read_gtrack_points(f_grouped)
+    b = read_gtrack_points(f_inter)
+    assert set(a) == set(b) == {"chrA", "chrB"}
+    for k in a:
+        np.testing.assert_array_equal(a[k].pos, b[k].pos)
+        # values per position form the same multiset; with stable
+        # grouping and per-position file order preserved they are equal
+        assert a[k].size == b[k].size == 3
+
+
 def test_native_strictness_matches_python(tmp_path):
     """The native parser mirrors the Python reader's semantics exactly:
     blank/indented-comment lines are skipped, and any malformed row
