@@ -31,6 +31,18 @@ class RunSummary:
             )
 
     def to_json(self) -> str:
+        # peak RSS at serialization time: memory observability for
+        # production runs (host-side bounding is a design claim —
+        # BASELINE.md — so every summary records the evidence)
+        try:
+            import resource
+
+            self.counters["peak_rss_mb"] = round(
+                resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024.0,
+                1,
+            )
+        except ImportError:  # non-POSIX
+            pass
         return json.dumps(
             {
                 "name": self.name,
