@@ -532,6 +532,69 @@ def test_css_smacof_mode_exact_under_faketime(binaries, tmp_path):
     assert np.all(diff[~exact] <= 1.0 / (runs + 1) + 1e-12)
 
 
+def test_approx_pmode_calibrated_against_reference_c(binaries, tmp_path):
+    """The production approx estimator (--p-mode approx, Pearson-III
+    moment fit) calibrated DIRECTLY against the compiled C's Monte-Carlo
+    on the same windows: with the clock pinned and a large fixed n, the
+    C's p is a tight estimate of the true permutation p, so the fitted
+    p must track it within model+sampling error over the bulk of the
+    distribution."""
+    from divergence_tpu.config import CssConfig, WindowConfig
+    from divergence_tpu.engine import run_css
+    from divergence_tpu.engine.snp import SnpPair
+
+    _, css_bin = binaries
+    lib = BASELINE / "build" / "libfaketime.so"
+    if not lib.exists():
+        pytest.skip("faketime shim not built")
+    # null-ish panel (shared frequency field) -> p spread over (0, 1]
+    rng = np.random.default_rng(11)
+    npos, region, asize, bsize = 1200, 70_000, 6, 5
+    positions = np.sort(rng.choice(np.arange(1, region), npos, replace=False))
+    p_major = rng.uniform(0.2, 0.9, size=(npos, 1))
+
+    def draw(size):
+        g = rng.random((npos, size))
+        het = p_major * (1 - p_major) * 2
+        return np.where(
+            g < p_major ** 2, 3.0,
+            np.where(g < p_major ** 2 + het, 0.0, -3.0),
+        )
+
+    amat, bmat = draw(asize), draw(bsize)
+    fa, fb = tmp_path / "a.gtrack", tmp_path / "b.gtrack"
+    _write_gtrack(fa, positions, amat)
+    _write_gtrack(fb, positions, bmat)
+    regend = int(positions[-1]) + 1
+    runs = 4000
+
+    ref_s, ref_p = _run_ref(
+        css_bin, fa, fb, tmp_path / "cal.dump",
+        env={
+            "LD_PRELOAD": str(lib),
+            "FAKE_TIME": "42",
+            "CSS_TRESHOLD": "1000000",
+            "CSS_RUNS": str(runs),
+        },
+        aux=True,
+    )
+
+    pair = SnpPair(positions=positions, avals=amat, bvals=bmat)
+    cfg = CssConfig(window=WindowConfig(2500, 500), p_mode="approx")
+    app_s, app_p = run_css(pair, regend, cfg)
+    np.testing.assert_allclose(ref_s, app_s, rtol=1e-7, atol=1e-9)
+
+    sel = (ref_s != 0) & (ref_p > 0.02) & (ref_p < 0.5)
+    assert sel.sum() > 40
+    ratio = np.log10(app_p[sel]) - np.log10(ref_p[sel])
+    # |log10 ratio| bulk bound: Pearson-III model error + the C's
+    # binomial noise (sd(p)/p <~ 11% at p=0.02, runs=4000)
+    assert np.median(np.abs(ratio)) < 0.06, float(np.median(np.abs(ratio)))
+    assert np.quantile(np.abs(ratio), 0.95) < 0.22, (
+        float(np.quantile(np.abs(ratio), 0.95))
+    )
+
+
 def test_css_drosophila_scores_match_reference_c(binaries, tmp_path):
     """Frequency-track (drosophila) mode differential: 2 pseudo-
     individuals, dissimilarity = mean |freqA-freqB| (css.c:245-264) —
