@@ -50,7 +50,11 @@ def _css_phase1_dispatch(
         return nslots, plan.num_windows, []
 
     asize, bsize = pair.asize, pair.bsize
-    avals_d, bvals_d = pair.device_values()
+    # stickleback dissimilarity is pure ==-counting (kcss.dissimilarity*),
+    # so the int16 form is result-identical at 1/4 the tunnel transfer;
+    # drosophila frequency tracks keep the float upload (compare_freq
+    # does real arithmetic on the values, reference statistics/css/css.c:245-264)
+    avals_d, bvals_d = pair.device_values(compact=not cfg.drosophila)
     buckets = bucketize(
         plan.lo,
         np.where(plan.valid_mask(), plan.npos, 0),

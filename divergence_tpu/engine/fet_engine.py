@@ -53,7 +53,9 @@ def _fet_dispatch(
     if plan.num_windows == 0 or pair.npos == 0:
         return nslots, []
 
-    avals_d, bvals_d = pair.device_values()
+    # compact=True: FET only ever == -compares the codes (count_tables),
+    # so the int16 form is result-identical at 1/4 the tunnel transfer
+    avals_d, bvals_d = pair.device_values(compact=True)
     maxs = kfet.support_size(pair.asize, pair.bsize)
     nmax = pair.asize + pair.bsize + 2
     # per-SNP exact tests ONCE per chromosome; windows overlap

@@ -23,7 +23,7 @@ class SnpPair:
     avals: np.ndarray      # [npos, asize] genotype codes
     bvals: np.ndarray      # [npos, bsize]
 
-    def device_values(self):
+    def device_values(self, compact: bool = False):
         """(avals, bvals) as device arrays, uploaded once and cached —
         both engines and repeated runs reuse the same HBM copy (host→device
         transfers dominate small runs).
@@ -35,8 +35,22 @@ class SnpPair:
         distinct chromosome length — minutes each on remote-compile
         backends — instead of once per power of two.  Window plans never
         index past the true ``npos``, so the pad rows are unreachable
-        from any gather."""
-        cached = getattr(self, "_device_vals", None)
+        from any gather.
+
+        ``compact=True`` uploads int16 instead of the host float64 when
+        every value is an integer in int16 range (always true for the
+        converter's genotype codes {3, -3, 0, -10000},
+        reference tools/VCFConvert.py:8-17).  Callers that only *compare*
+        values — FET's ``count_tables`` is pure ``==`` counting
+        (reference statistics/fisher/cFisher.c:208-238) — get identical results from a 4x
+        smaller host→device transfer, which dominates chromosome-scale
+        runs on remote-tunnel backends (~14 MB/s observed).  Non-integral
+        values (drosophila frequency tracks) fall back to the float
+        upload."""
+        key = "_device_vals_i16" if compact else "_device_vals"
+        if compact and not self._int16_safe():
+            compact, key = False, "_device_vals"
+        cached = getattr(self, key, None)
         if cached is None:
             import jax.numpy as jnp
 
@@ -47,14 +61,35 @@ class SnpPair:
             pad = npad - n
 
             def up(mat):
+                if compact:
+                    mat = mat.astype(np.int16)
                 if pad:
                     mat = np.pad(mat, ((0, pad), (0, 0)),
-                                 constant_values=-10000.0)
+                                 constant_values=mat.dtype.type(-10000))
                 return jnp.asarray(mat)
 
             cached = (up(self.avals), up(self.bvals))
-            object.__setattr__(self, "_device_vals", cached)
+            object.__setattr__(self, key, cached)
         return cached
+
+    def _int16_safe(self) -> bool:
+        """True when both matrices hold integers representable in int16
+        (cached — one host pass over each matrix)."""
+        ok = getattr(self, "_i16_ok", None)
+        if ok is None:
+            def check(mat):
+                if np.issubdtype(mat.dtype, np.integer):
+                    return bool(
+                        mat.min(initial=0) >= -32768
+                        and mat.max(initial=0) <= 32767
+                    )
+                return bool(
+                    np.all(np.abs(mat) <= 32767.0)
+                    and np.all(mat == np.trunc(mat))
+                )
+            ok = check(self.avals) and check(self.bvals)
+            object.__setattr__(self, "_i16_ok", ok)
+        return ok
 
     @property
     def asize(self) -> int:

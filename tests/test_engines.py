@@ -234,3 +234,48 @@ def test_css_prefix_budget_fallback(rng, monkeypatch):
     s_gath, p_gath = run_css(pair2, region, cfg, seqid="chrZ")
     np.testing.assert_allclose(s_pref, s_gath, rtol=1e-9, atol=1e-12)
     np.testing.assert_array_equal(p_pref, p_gath)
+
+
+def test_compact_int16_upload_identical(rng):
+    """device_values(compact=True) uploads int16 for integral genotype
+    codes; FET and CSS results are identical to the float upload (both
+    kernels only ==-compare the values: reference statistics/fisher/cFisher.c:208-238,
+    statistics/css/css.c:277-327)."""
+    npos, region = 400, 20_000
+    positions = np.sort(rng.choice(np.arange(1, region), npos, replace=False))
+    av = rng.choice([3.0, -3.0, 0.0, -10000.0], size=(npos, 6))
+    bv = rng.choice([3.0, -3.0, 0.0, -10000.0], size=(npos, 5))
+
+    pair = SnpPair(positions=positions, avals=av, bvals=bv)
+    a16, b16 = pair.device_values(compact=True)
+    assert a16.dtype == np.int16 and b16.dtype == np.int16
+    af, bf = pair.device_values()
+    np.testing.assert_array_equal(np.asarray(a16), np.asarray(af))
+    np.testing.assert_array_equal(np.asarray(b16), np.asarray(bf))
+
+    fcfg = FetConfig(window=WCFG)
+    ccfg = CssConfig(window=WCFG, mc_runs=200, mc_chunk=64)
+    s_c, d_c = run_fet(pair, region, fcfg, seqid="chrC")
+    cs_c, cp_c = run_css(pair, region, ccfg, seqid="chrC")
+
+    # force the float path and compare
+    pair_f = SnpPair(positions=positions, avals=av, bvals=bv)
+    object.__setattr__(pair_f, "_i16_ok", False)
+    assert pair_f.device_values(compact=True)[0].dtype != np.int16
+    s_f, d_f = run_fet(pair_f, region, fcfg, seqid="chrC")
+    cs_f, cp_f = run_css(pair_f, region, ccfg, seqid="chrC")
+    np.testing.assert_array_equal(s_c, s_f)
+    np.testing.assert_array_equal(d_c, d_f)
+    np.testing.assert_array_equal(cs_c, cs_f)
+    np.testing.assert_array_equal(cp_c, cp_f)
+
+
+def test_compact_upload_noninteger_fallback(rng):
+    """Non-integral values (drosophila frequency tracks) refuse the
+    int16 form."""
+    positions = np.arange(1, 51, dtype=np.int64)
+    fa = rng.uniform(0.001, 0.999, size=(50, 1))
+    fb = rng.uniform(0.001, 0.999, size=(50, 1))
+    pair = SnpPair(positions=positions, avals=fa, bvals=fb)
+    a, b = pair.device_values(compact=True)
+    assert a.dtype == np.float64 and b.dtype == np.float64
