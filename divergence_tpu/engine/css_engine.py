@@ -211,93 +211,100 @@ def run_css_multi(
     key = jax.random.PRNGKey(cfg.seed)
     if not pairs:
         return {}
+    summary = summary or RunSummary()
 
     first_pair = next(iter(pairs.values()))[0]
     asize, bsize = first_pair.asize, first_pair.bsize
 
     per_chrom = []
     planned_total = 0
-    for seqid, (pair, regend) in sorted(pairs.items()):
-        if (pair.asize, pair.bsize) != (asize, bsize):
-            raise ValueError(
-                f"{seqid}: population sizes differ between chromosomes"
+    with summary.stage("css_dispatch"):
+        for seqid, (pair, regend) in sorted(pairs.items()):
+            if (pair.asize, pair.bsize) != (asize, bsize):
+                raise ValueError(
+                    f"{seqid}: population sizes differ between chromosomes"
+                )
+            # chromosome-pinned RNG stream: phase-1 results do not depend
+            # on which other chromosomes share the run (or host partition)
+            ckey = jax.random.fold_in(key, kperm.chrom_hash(seqid))
+            nslots, planned, pending = _css_phase1_dispatch(
+                pair, regend, cfg, sharding, ckey
             )
-        # chromosome-pinned RNG stream: phase-1 results do not depend on
-        # which other chromosomes share the run (or the host partition)
-        ckey = jax.random.fold_in(key, kperm.chrom_hash(seqid))
-        nslots, planned, pending = _css_phase1_dispatch(
-            pair, regend, cfg, sharding, ckey
-        )
-        planned_total += planned
-        per_chrom.append((seqid, nslots, pending))
+            planned_total += planned
+            per_chrom.append((seqid, nslots, pending))
 
     all_pending = [p for _, _, pending in per_chrom for p in pending]
-    fetched = _css_phase1_fetch(all_pending) if all_pending else None
+    with summary.stage("css_phase1_sync"):
+        fetched = _css_phase1_fetch(all_pending) if all_pending else None
 
     chrom_data = []
     off = 0
     n_discarded = 0
-    for seqid, nslots, pending in per_chrom:
-        slots, svals, dists, disc, off = (
-            _css_collect(pending, fetched, off)
-            if pending
-            else (np.zeros(0, np.int64), np.zeros(0), [], 0, off)
-        )
-        n_discarded += disc
-        chrom_data.append((seqid, nslots, slots, svals, dists))
+    with summary.stage("css_collect"):
+        for seqid, nslots, pending in per_chrom:
+            slots, svals, dists, disc, off = (
+                _css_collect(pending, fetched, off)
+                if pending
+                else (np.zeros(0, np.int64), np.zeros(0), [], 0, off)
+            )
+            n_discarded += disc
+            chrom_data.append((seqid, nslots, slots, svals, dists))
 
     # phase 2: genome-wide adaptive permutation MC over every valid window
     svals_all = np.concatenate([c[3] for c in chrom_data]) if chrom_data else np.zeros(0)
     results: dict[str, tuple[np.ndarray, np.ndarray]] = {}
     if len(svals_all):
-        # device-side gather + concat of the valid windows' distance
-        # matrices (never fetched to host)
-        dists_all = jnp.concatenate(
-            [d[idx] for c in chrom_data for d, idx in c[4]]
-        )
-        # per-window RNG identity: (chromosome, slot) — MC p-values are
-        # invariant to batch composition, sharding, and host partition
-        chroms_all = np.concatenate(
-            [
-                np.full(len(c[3]), kperm.chrom_hash(c[0]), dtype=np.int64)
-                for c in chrom_data
-            ]
-        )
-        slots_all = np.concatenate(
-            [np.asarray(c[2], dtype=np.int64) for c in chrom_data]
-        )
-        a_mc = 1 if cfg.drosophila else asize
-        b_mc = 1 if cfg.drosophila else bsize
-        if cfg.p_mode == "approx":
-            mc = kperm.approx_significance(
-                dists_all,
-                svals_all,
-                a_mc,
-                b_mc,
-                jax.random.fold_in(key, 2),
-                chunk=max(cfg.mc_chunk, 512),
-                chroms=chroms_all,
-                slots=slots_all,
-                sharding=sharding,
-                bitgen=cfg.rng,
+        with summary.stage("css_mc"):
+            # device-side gather + concat of the valid windows' distance
+            # matrices (never fetched to host)
+            dists_all = jnp.concatenate(
+                [d[idx] for c in chrom_data for d, idx in c[4]]
             )
-        else:
-            mc = kperm.significance(
-                dists_all,
-                svals_all,
-                a_mc,
-                b_mc,
-                cfg.mc_threshold,
-                cfg.mc_runs,
-                jax.random.fold_in(key, 2),
-                chunk=cfg.mc_chunk,
-                chroms=chroms_all,
-                slots=slots_all,
-                sharding=sharding,
-                backend=cfg.perm_backend,
-                bitgen=cfg.rng,
-                form=cfg.perm_form,
+            # per-window RNG identity: (chromosome, slot) — MC p-values
+            # are invariant to batch composition, sharding, host partition
+            chroms_all = np.concatenate(
+                [
+                    np.full(
+                        len(c[3]), kperm.chrom_hash(c[0]), dtype=np.int64
+                    )
+                    for c in chrom_data
+                ]
             )
+            slots_all = np.concatenate(
+                [np.asarray(c[2], dtype=np.int64) for c in chrom_data]
+            )
+            a_mc = 1 if cfg.drosophila else asize
+            b_mc = 1 if cfg.drosophila else bsize
+            if cfg.p_mode == "approx":
+                mc = kperm.approx_significance(
+                    dists_all,
+                    svals_all,
+                    a_mc,
+                    b_mc,
+                    jax.random.fold_in(key, 2),
+                    chunk=max(cfg.mc_chunk, 512),
+                    chroms=chroms_all,
+                    slots=slots_all,
+                    sharding=sharding,
+                    bitgen=cfg.rng,
+                )
+            else:
+                mc = kperm.significance(
+                    dists_all,
+                    svals_all,
+                    a_mc,
+                    b_mc,
+                    cfg.mc_threshold,
+                    cfg.mc_runs,
+                    jax.random.fold_in(key, 2),
+                    chunk=cfg.mc_chunk,
+                    chroms=chroms_all,
+                    slots=slots_all,
+                    sharding=sharding,
+                    backend=cfg.perm_backend,
+                    bitgen=cfg.rng,
+                    form=cfg.perm_form,
+                )
         mc_off = 0
         for seqid, nslots, slots, svals, _ in chrom_data:
             scores = np.zeros(nslots, dtype=np.float64)

@@ -166,20 +166,23 @@ def run_fet_multi(
     single packed host sync — per-chromosome fixed latencies overlap
     (the per-chromosome result is identical to :func:`run_fet`)."""
     cfg = cfg or FetConfig()
+    summary = summary or RunSummary()
     per_chrom = []
     base = jax.random.PRNGKey(cfg.seed)
-    for seqid, (pair, regend) in sorted(pairs.items()):
-        # chromosome-pinned stream: independent bootstrap noise per
-        # chromosome, identical to run_fet(seqid=...) and stable across
-        # multi-host chromosome partitionings
-        key = jax.random.fold_in(base, _chrom_hash(seqid))
-        nslots, pending = _fet_dispatch(
-            pair, regend, cfg, sharding, summary, key
-        )
-        per_chrom.append((seqid, nslots, pending))
+    with summary.stage("fet_dispatch"):
+        for seqid, (pair, regend) in sorted(pairs.items()):
+            # chromosome-pinned stream: independent bootstrap noise per
+            # chromosome, identical to run_fet(seqid=...) and stable
+            # across multi-host chromosome partitionings
+            key = jax.random.fold_in(base, _chrom_hash(seqid))
+            nslots, pending = _fet_dispatch(
+                pair, regend, cfg, sharding, summary, key
+            )
+            per_chrom.append((seqid, nslots, pending))
 
     all_pending = [p for _, _, pending in per_chrom for p in pending]
-    fetched = _fetch_packed(all_pending) if all_pending else None
+    with summary.stage("fet_sync"):
+        fetched = _fetch_packed(all_pending) if all_pending else None
 
     results = {}
     off = 0

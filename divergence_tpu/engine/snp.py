@@ -46,13 +46,28 @@ class SnpPair:
         smaller host→device transfer, which dominates chromosome-scale
         runs on remote-tunnel backends (~14 MB/s observed).  Non-integral
         values (drosophila frequency tracks) fall back to the float
-        upload."""
+        upload.
+
+        When a non-compact view of int16-safe values is requested, it is
+        DERIVED on device from the cached int16 upload (one ``astype``,
+        exact for int16-range integers) — mixed compact/non-compact
+        consumers of the same pair therefore still pay one host→device
+        transfer and hold one HBM genotype copy plus the small derived
+        view."""
         key = "_device_vals_i16" if compact else "_device_vals"
         if compact and not self._int16_safe():
             compact, key = False, "_device_vals"
         cached = getattr(self, key, None)
         if cached is None:
             import jax.numpy as jnp
+
+            if not compact and self._int16_safe():
+                tgt = jnp.result_type(self.avals.dtype)
+                cached = tuple(
+                    v.astype(tgt) for v in self.device_values(compact=True)
+                )
+                object.__setattr__(self, key, cached)
+                return cached
 
             n = len(self.positions)
             npad = 8
@@ -63,6 +78,14 @@ class SnpPair:
             def up(mat):
                 if compact:
                     mat = mat.astype(np.int16)
+                elif (
+                    np.issubdtype(mat.dtype, np.integer)
+                    and np.iinfo(mat.dtype).min > -10000
+                ):
+                    # the pad sentinel must be representable (int8/uint*
+                    # would overflow or wrap); int16-safe inputs never
+                    # reach here, so this is the >32767-range case
+                    mat = mat.astype(np.int64)
                 if pad:
                     mat = np.pad(mat, ((0, pad), (0, 0)),
                                  constant_values=mat.dtype.type(-10000))

@@ -122,6 +122,7 @@ def main():
         "run-css", "--pop-a", f"{w}/popA.gtrack", "--pop-b", f"{w}/popB.gtrack",
         "--out", f"{w}/css.track", "--chrom-sizes", f"{w}/chrom.sizes",
         "--precision", "fast", "--p-mode", p_mode,
+        "--summary", f"{w}/css_summary.json",
     ])
     run("filter-fet", [
         "filter-fet", "--scores", f"{w}/fet.track",

@@ -249,16 +249,28 @@ def test_compact_int16_upload_identical(rng):
     pair = SnpPair(positions=positions, avals=av, bvals=bv)
     a16, b16 = pair.device_values(compact=True)
     assert a16.dtype == np.int16 and b16.dtype == np.int16
+    # the non-compact view of int16-safe values is DERIVED from the
+    # cached int16 upload (float dtype, same values, no second transfer)
     af, bf = pair.device_values()
+    assert af.dtype == np.float64 and bf.dtype == np.float64
     np.testing.assert_array_equal(np.asarray(a16), np.asarray(af))
     np.testing.assert_array_equal(np.asarray(b16), np.asarray(bf))
+
+    # mixed-order consumers: a fresh pair asked float-first also ends up
+    # with both views backed by one upload
+    pair_m = SnpPair(positions=positions, avals=av, bvals=bv)
+    am, _ = pair_m.device_values()
+    assert am.dtype == np.float64
+    assert getattr(pair_m, "_device_vals_i16", None) is not None
 
     fcfg = FetConfig(window=WCFG)
     ccfg = CssConfig(window=WCFG, mc_runs=200, mc_chunk=64)
     s_c, d_c = run_fet(pair, region, fcfg, seqid="chrC")
     cs_c, cp_c = run_css(pair, region, ccfg, seqid="chrC")
 
-    # force the float path and compare
+    # force the genuine float-upload path (the only remaining way now
+    # that the public API derives float views from the int16 upload);
+    # the dtype assert guards against the private cache attr drifting
     pair_f = SnpPair(positions=positions, avals=av, bvals=bv)
     object.__setattr__(pair_f, "_i16_ok", False)
     assert pair_f.device_values(compact=True)[0].dtype != np.int16
