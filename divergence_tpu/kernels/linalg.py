@@ -60,11 +60,20 @@ def jacobi_eigh(
         apq = A[..., p, q]
         # inner rotation (|theta| <= pi/4), Golub & Van Loan 8.4: required
         # for cyclic-Jacobi convergence — the atan2 branch admits swap
-        # rotations that cycle forever.
+        # rotations that cycle forever.  The tangent is computed in the
+        # overflow-free form t = sign(d)·apq / (|d| + hypot(d, apq)) with
+        # d = (aqq−app)/2 (equal to sign(τ)/(|τ|+√(1+τ²)), τ = d/apq) —
+        # the τ form divides by apq, which overflows to inf once the
+        # off-diagonal goes subnormal after convergence; IEEE inf
+        # arithmetic absorbs that on CPU, but TPU's double-float f64
+        # emulation turns inf−inf intermediates into NaN.
         safe = jnp.abs(apq) > 0.0
-        tau = jnp.where(safe, (aqq - app) / jnp.where(safe, 2.0 * apq, 1.0), 0.0)
-        t = jnp.sign(tau) / (jnp.abs(tau) + jnp.sqrt(1.0 + tau * tau))
-        t = jnp.where(tau == 0.0, jnp.where(safe, 1.0, 0.0), t)
+        d = 0.5 * (aqq - app)
+        hyp = jnp.sqrt(d * d + apq * apq)
+        t = jnp.sign(d) * apq / jnp.where(safe, jnp.abs(d) + hyp, 1.0)
+        # d == 0: τ = 0 → t = ±1 both zero the pivot; keep t = 1 like the
+        # τ-form special case (sign(0) zeroes the formula above)
+        t = jnp.where(d == 0.0, jnp.where(safe, 1.0, 0.0), t)
         c = 1.0 / jnp.sqrt(1.0 + t * t)
         s = t * c
         c = jnp.where(safe, c, 1.0)
@@ -104,8 +113,19 @@ def top2_eig(a: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
 
     Uses XLA's batched ``eigh`` — measured ~70x faster than the scatter-
     based round-robin Jacobi in :func:`jacobi_eigh` for thousands of
-    m~21 problems on TPU (the Jacobi remains as a reference
-    implementation and for backends without a batched eigh)."""
+    m~21 problems on TPU — EXCEPT for float64 on the TPU backend, where
+    XLA's eigh runs its iteration at ~f32 accuracy (~2e-6 eigenvalue
+    error measured) and intermittently returns NaN eigenpairs for
+    well-conditioned inputs (emulated-f64 inf/NaN semantics inside the
+    solver).  There the batched Jacobi — pure arithmetic, NaN-free by
+    construction — provides the full emulated-f64 accuracy that
+    ``precision="exact"`` promises."""
+    if a.dtype == jnp.float64 and jax.default_backend() == "tpu":
+        w, v = jacobi_eigh(a)          # unsorted
+        order = jnp.argsort(-w, axis=-1)[..., :2]
+        top_vals = jnp.take_along_axis(w, order, axis=-1)
+        vecs = jnp.take_along_axis(v, order[..., None, :], axis=-1)
+        return top_vals, vecs
     w, v = jnp.linalg.eigh(a)          # ascending
     top_vals = w[..., ::-1][..., :2]
     vecs = v[..., ::-1][..., :2]

@@ -1,0 +1,98 @@
+"""Batched Jacobi eigensolver unit tests.
+
+The Jacobi path is the production CMDS eigensolver for float64 on the
+TPU backend, where XLA's emulated-f64 ``eigh`` runs at ~f32 accuracy and
+intermittently returns NaN eigenpairs (found round 3 via the e2e verify
+drive: one window of a toy panel NaN-poisoned the exact-precision CSS
+track on the chip).  These tests pin the solver's accuracy and its
+NaN-robustness after convergence — the failure mode was the rotation
+tangent's τ form dividing by a subnormal off-diagonal once converged
+(inf intermediates; IEEE absorbs them, the TPU's double-float emulation
+turns them into NaN).
+"""
+
+import numpy as np
+import jax.numpy as jnp
+
+from divergence_tpu.kernels.linalg import jacobi_eigh, top2_eig
+
+
+def _sym(rng, b, m):
+    s = rng.standard_normal((b, m, m))
+    return s + np.swapaxes(s, -1, -2)
+
+
+def test_jacobi_matches_numpy_eigh(rng):
+    for m in (2, 4, 11, 12, 21, 22):
+        s = _sym(rng, 5, m)
+        w, v = jacobi_eigh(jnp.asarray(s))
+        w = np.asarray(w)
+        v = np.asarray(v)
+        assert np.isfinite(w).all() and np.isfinite(v).all()
+        np.testing.assert_allclose(
+            np.sort(w, axis=-1), np.linalg.eigh(s)[0], rtol=1e-10,
+            atol=1e-10,
+        )
+        # eigenpair residual: A v = w v
+        res = s @ v - w[..., None, :] * v
+        assert np.abs(res).max() < 1e-9
+
+
+def test_jacobi_post_convergence_stays_finite(rng):
+    """Extra sweeps after convergence must not corrupt the result: once
+    off-diagonals are subnormal, the old τ = d/apq form overflowed (the
+    TPU-f64-emulation NaN source).  30 sweeps on 4x4 problems leaves
+    ~27 post-convergence sweeps."""
+    s = _sym(rng, 3, 4)
+    w, _ = jacobi_eigh(jnp.asarray(s), sweeps=30)
+    w = np.asarray(w)
+    assert np.isfinite(w).all()
+    np.testing.assert_allclose(
+        np.sort(w, axis=-1), np.linalg.eigh(s)[0], rtol=1e-10, atol=1e-12
+    )
+
+
+def test_jacobi_degenerate_and_diagonal_inputs():
+    # already diagonal (every apq == 0), equal diagonal (d == 0), and a
+    # d == 0 with apq != 0 pivot (τ = 0 → t = 1 special case)
+    mats = np.stack(
+        [
+            np.diag([3.0, -1.0, 2.0, 0.5]),
+            np.full((4, 4), 1.0),
+            np.array(
+                [
+                    [2.0, 5.0, 0.0, 0.0],
+                    [5.0, 2.0, 0.0, 0.0],
+                    [0.0, 0.0, 1.0, 0.0],
+                    [0.0, 0.0, 0.0, 4.0],
+                ]
+            ),
+        ]
+    )
+    w, v = jacobi_eigh(jnp.asarray(mats))
+    w = np.asarray(w)
+    assert np.isfinite(w).all()
+    for k in range(len(mats)):
+        np.testing.assert_allclose(
+            np.sort(w[k]), np.linalg.eigh(mats[k])[0], atol=1e-12
+        )
+    # zero matrix: all rotations skipped, eigenvectors stay orthonormal
+    z = jnp.zeros((1, 6, 6), dtype=jnp.float64)
+    wz, vz = jacobi_eigh(z)
+    assert np.array_equal(np.asarray(wz), np.zeros((1, 6)))
+    np.testing.assert_allclose(
+        np.asarray(vz)[0] @ np.asarray(vz)[0].T, np.eye(6), atol=1e-14
+    )
+
+
+def test_top2_eig_matches_numpy(rng):
+    s = _sym(rng, 7, 21)
+    vals, vecs = top2_eig(jnp.asarray(s))
+    wn, vn = np.linalg.eigh(s)
+    np.testing.assert_allclose(
+        np.asarray(vals), wn[..., ::-1][..., :2], rtol=1e-10, atol=1e-12
+    )
+    # compare eigenvectors up to sign
+    got = np.abs(np.asarray(vecs))
+    want = np.abs(vn[..., ::-1][..., :2])
+    np.testing.assert_allclose(got, want, rtol=1e-7, atol=1e-8)
