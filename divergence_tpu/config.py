@@ -130,6 +130,13 @@ class CssConfig:
     # Bounds the [window_batch, mc_chunk, m, m] one-hot/matmul buffers.
     mc_chunk: int = 256
 
+    # Windows per MC device launch.  Each launch costs a fixed dispatch
+    # latency (~0.3-0.5 s on remote-tunnel backends); genome-scale runs
+    # have ~1e5 valid windows, so the batch must be large enough that the
+    # launch count, not the latency, is negligible.  Bounds the
+    # [mc_window_batch, m, mc_chunk] rank buffer (int32).
+    mc_window_batch: int = 8192
+
     # "exact": float64 scoring (reference C doubles); "fast": float32
     # (scores to ~1e-5 relative; the permutation MC is float32 in both
     # modes).  See docs/PARITY.md.
@@ -173,6 +180,8 @@ class CssConfig:
             raise ValueError("mc_threshold and mc_runs must be positive")
         if self.mc_chunk <= 0:
             raise ValueError("mc_chunk must be positive")
+        if self.mc_window_batch <= 0:
+            raise ValueError("mc_window_batch must be positive")
         if self.precision not in ("exact", "fast"):
             raise ValueError("precision must be 'exact' or 'fast'")
         if self.p_mode not in ("mc", "approx"):

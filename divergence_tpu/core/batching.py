@@ -45,19 +45,42 @@ def upload_bucket(bucket: Bucket, sharding=None):
 
     Padding rows repeat lo/npos/slot 0 — harmless: their npos=0 marks
     them invalid, the kernels zero them, and the engines never scatter
-    them back.  Returns (lo_d, npos_d, slot_d)."""
+    them back.  The three descriptors ship as ONE packed [3, B] transfer
+    (every host→device transfer pays a fixed round trip on remote-tunnel
+    backends) and are sliced apart on device.  Returns
+    (lo_d, npos_d, slot_d)."""
     import jax
     import jax.numpy as jnp
 
     Bw = len(bucket.window_ids)
-    pads = (0, pad_batch(Bw) - Bw)
-    arrs = [
-        jnp.asarray(np.pad(a, pads))
-        for a in (bucket.lo, bucket.npos, bucket.slot)
-    ]
+    pads = ((0, 0), (0, pad_batch(Bw) - Bw))
+    packed = jnp.asarray(
+        np.pad(
+            np.stack([bucket.lo, bucket.npos, bucket.slot]).astype(
+                np.int64
+            ),
+            pads,
+        )
+    )
     if sharding is not None:
-        arrs = [jax.device_put(a, sharding) for a in arrs]
-    return tuple(arrs)
+        packed = jax.device_put(
+            packed,
+            sharding if packed.ndim == 1 else _row_sharding(sharding),
+        )
+    return packed[0], packed[1], packed[2]
+
+
+def _row_sharding(sharding):
+    """The window sharding lifted to the packed [3, B] descriptor array
+    (replicate the leading row axis, shard the window axis)."""
+    import jax
+
+    if isinstance(sharding, jax.sharding.NamedSharding):
+        spec = sharding.spec
+        return jax.sharding.NamedSharding(
+            sharding.mesh, jax.sharding.PartitionSpec(None, *spec)
+        )
+    return sharding
 
 
 def bucketize(

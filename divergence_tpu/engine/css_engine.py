@@ -55,12 +55,6 @@ def _css_phase1_dispatch(
     # drosophila frequency tracks keep the float upload (compare_freq
     # does real arithmetic on the values, reference statistics/css/css.c:245-264)
     avals_d, bvals_d = pair.device_values(compact=not cfg.drosophila)
-    buckets = bucketize(
-        plan.lo,
-        np.where(plan.valid_mask(), plan.npos, 0),
-        plan.slot,
-        max_batch=4096,
-    )
 
     # stickleback path: chromosome-wide mismatch prefix sums ONCE —
     # every window's dissimilarity is one [m, m] difference (windows
@@ -75,6 +69,21 @@ def _css_phase1_dispatch(
     ):
         vals_d = jnp.concatenate([avals_d, bvals_d], axis=-1)
         prefix = kcss.dissimilarity_prefix(vals_d)
+
+    valid_npos = np.where(plan.valid_mask(), plan.npos, 0)
+    if prefix is not None:
+        # the prefix kernel never materializes [B, P, m] window gathers —
+        # its per-window cost is independent of padded_npos — so npos
+        # bucketing only fragments the batch: ONE shape bucket, large
+        # batches (each device launch costs a fixed dispatch latency on
+        # remote backends; a chromosome is 1-2 launches instead of ~5)
+        min_pad = 1 << max(int(valid_npos.max()) - 1, 0).bit_length()
+        buckets = bucketize(
+            plan.lo, valid_npos, plan.slot,
+            min_pad=max(min_pad, 32), max_batch=16384, max_elems=None,
+        )
+    else:
+        buckets = bucketize(plan.lo, valid_npos, plan.slot, max_batch=4096)
 
     # phase 1: scores + distance matrices for every valid window;
     # dispatch all buckets asynchronously, materialize with one host sync
@@ -140,11 +149,18 @@ def _css_phase1_fetch(all_pending):
 
 
 def _css_collect(pending, fetched, off: int):
-    """Unpack one chromosome's rows: (slots, svals, dists_dev,
-    n_discarded, next offset).  ``dists_dev`` is a list of
-    (device_array, row_indices) picks — concatenated lazily on device by
-    the caller."""
-    all_slots, all_scores, dist_picks = [], [], []
+    """Unpack one chromosome's phase-1 rows at BUCKET-ROW granularity:
+    (row_slot, row_score, row_valid, dists_dev, n_discarded, next off).
+
+    Rows cover every padded bucket position in dispatch order — the
+    per-bucket distance arrays feed the Monte-Carlo whole (one
+    ``kperm.assemble_rows`` program) instead of per-bucket valid-row
+    gathers (each eager gather/concat op costs a tunnel round trip).
+    Invalid and padding rows carry score -inf: every permutation of
+    their zeroed distance matrix hits, so they exit the adaptive MC at
+    the first chunk and their (discarded) results cost ~threshold
+    permutations each."""
+    row_slots, row_scores, row_valid, dists = [], [], [], []
     n_discarded = 0
     for bucket, s_d, d_dev, _ in pending:
         Bp = s_d.shape[0]
@@ -154,22 +170,30 @@ def _css_collect(pending, fetched, off: int):
         s = rows[:, 0]
         valid = rows[:, 1] != 0.0
         n_discarded += int((~valid & (bucket.npos > 0)).sum())
-        all_slots.append(bucket.slot[valid])
-        all_scores.append(s[valid])
-        if valid.any():
-            dist_picks.append((d_dev, np.nonzero(valid)[0]))
-    if not all_scores:
+        rs = np.zeros(Bp, dtype=np.int64)
+        rs[:Bw] = bucket.slot
+        sc = np.full(Bp, -np.inf)
+        sc[:Bw][valid] = s[valid]
+        va = np.zeros(Bp, dtype=bool)
+        va[:Bw] = valid
+        row_slots.append(rs)
+        row_scores.append(sc)
+        row_valid.append(va)
+        dists.append(d_dev)
+    if not dists:
         return (
             np.zeros(0, np.int64),
             np.zeros(0),
+            np.zeros(0, dtype=bool),
             [],
             n_discarded,
             off,
         )
     return (
-        np.concatenate(all_slots),
-        np.concatenate(all_scores),
-        dist_picks,
+        np.concatenate(row_slots),
+        np.concatenate(row_scores),
+        np.concatenate(row_valid),
+        dists,
         n_discarded,
         off,
     )
@@ -240,26 +264,38 @@ def run_css_multi(
     chrom_data = []
     off = 0
     n_discarded = 0
+    empty = (
+        np.zeros(0, np.int64),
+        np.zeros(0),
+        np.zeros(0, dtype=bool),
+        [],
+    )
     with summary.stage("css_collect"):
         for seqid, nslots, pending in per_chrom:
-            slots, svals, dists, disc, off = (
-                _css_collect(pending, fetched, off)
-                if pending
-                else (np.zeros(0, np.int64), np.zeros(0), [], 0, off)
-            )
+            if pending:
+                rslot, rscore, rvalid, dists, disc, off = _css_collect(
+                    pending, fetched, off
+                )
+            else:
+                rslot, rscore, rvalid, dists = empty
+                disc = 0
             n_discarded += disc
-            chrom_data.append((seqid, nslots, slots, svals, dists))
+            chrom_data.append((seqid, nslots, rslot, rscore, rvalid, dists))
 
-    # phase 2: genome-wide adaptive permutation MC over every valid window
-    svals_all = np.concatenate([c[3] for c in chrom_data]) if chrom_data else np.zeros(0)
+    # phase 2: genome-wide adaptive permutation MC at bucket-row
+    # granularity (invalid/pad rows finish at the first chunk and are
+    # dropped; see _css_collect)
+    n_scored = int(sum(c[4].sum() for c in chrom_data))
     results: dict[str, tuple[np.ndarray, np.ndarray]] = {}
-    if len(svals_all):
+    if n_scored:
         with summary.stage("css_mc"):
-            # device-side gather + concat of the valid windows' distance
-            # matrices (never fetched to host)
-            dists_all = jnp.concatenate(
-                [d[idx] for c in chrom_data for d, idx in c[4]]
+            valid_all = np.concatenate([c[4] for c in chrom_data])
+            # one-program device assembly of every bucket's distance
+            # matrices (never fetched to host; invalid rows zeroed)
+            dists_all = kperm.assemble_rows(
+                [d for c in chrom_data for d in c[5]], valid_all
             )
+            scores_all = np.concatenate([c[3] for c in chrom_data])
             # per-window RNG identity: (chromosome, slot) — MC p-values
             # are invariant to batch composition, sharding, host partition
             chroms_all = np.concatenate(
@@ -278,11 +314,12 @@ def run_css_multi(
             if cfg.p_mode == "approx":
                 mc = kperm.approx_significance(
                     dists_all,
-                    svals_all,
+                    scores_all,
                     a_mc,
                     b_mc,
                     jax.random.fold_in(key, 2),
                     chunk=max(cfg.mc_chunk, 512),
+                    window_batch=cfg.mc_window_batch,
                     chroms=chroms_all,
                     slots=slots_all,
                     sharding=sharding,
@@ -291,13 +328,14 @@ def run_css_multi(
             else:
                 mc = kperm.significance(
                     dists_all,
-                    svals_all,
+                    scores_all,
                     a_mc,
                     b_mc,
                     cfg.mc_threshold,
                     cfg.mc_runs,
                     jax.random.fold_in(key, 2),
                     chunk=cfg.mc_chunk,
+                    window_batch=cfg.mc_window_batch,
                     chroms=chroms_all,
                     slots=slots_all,
                     sharding=sharding,
@@ -306,14 +344,17 @@ def run_css_multi(
                     form=cfg.perm_form,
                 )
         mc_off = 0
-        for seqid, nslots, slots, svals, _ in chrom_data:
+        mc_perms = 0
+        for seqid, nslots, rslot, rscore, rvalid, _ in chrom_data:
             scores = np.zeros(nslots, dtype=np.float64)
             pvals = np.zeros(nslots, dtype=np.float64)
-            scores[slots] = svals
-            pvals[slots] = mc.pvals[mc_off : mc_off + len(svals)]
-            mc_off += len(svals)
+            nrows = len(rscore)
+            sl = rslot[rvalid]
+            scores[sl] = rscore[rvalid]
+            pvals[sl] = mc.pvals[mc_off : mc_off + nrows][rvalid]
+            mc_perms += int(mc.nscores[mc_off : mc_off + nrows][rvalid].sum())
+            mc_off += nrows
             results[seqid] = (scores, pvals)
-        mc_perms = int(mc.nscores.sum())
     else:
         for seqid, nslots, *_ in chrom_data:
             results[seqid] = (
@@ -325,7 +366,7 @@ def run_css_multi(
     if summary is not None:
         c = summary.counters
         c["windows_planned"] = c.get("windows_planned", 0) + planned_total
-        c["windows_scored"] = c.get("windows_scored", 0) + int(len(svals_all))
+        c["windows_scored"] = c.get("windows_scored", 0) + n_scored
         c["windows_discarded"] = c.get("windows_discarded", 0) + n_discarded
         c["mc_permutations"] = c.get("mc_permutations", 0) + mc_perms
     return results

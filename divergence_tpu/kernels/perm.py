@@ -377,6 +377,74 @@ def permutation_chunk(
     return cum[:, -1], reached, pos
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("Bp", "asize", "bsize", "chunk", "runs", "threshold",
+                     "max_chunks", "bitgen", "form"),
+)
+def _mc_stage1_all(
+    dist: jnp.ndarray,     # [Bt, m, m], Bt a multiple of Bp
+    scores: jnp.ndarray,   # [Bt] observed CSS (-inf rows finish instantly)
+    chroms: jnp.ndarray,   # [Bt]
+    slots: jnp.ndarray,    # [Bt]
+    key: jax.Array,
+    Bp: int,
+    asize: int,
+    bsize: int,
+    chunk: int,
+    runs: int,
+    threshold: int,
+    max_chunks: int | None,
+    bitgen: str,
+    form: str,
+) -> jnp.ndarray:
+    """The ENTIRE stage-1 sweep as one device program: ``lax.map`` over
+    uniform batch slices of the genome-wide arrays, per-window keys
+    derived in-program.  On remote-tunnel backends every dispatched op
+    costs a fixed round trip (~0.3-0.5 s measured round 3); the per-batch
+    host loop (slice + key-derivation + launch per batch) spent ~20x the
+    MC's actual compute in dispatch overhead at genome scale.  Returns
+    [4, Bt] rows (pvals, nscores, hits, finished) — ONE fetch."""
+    nb = dist.shape[0] // Bp
+
+    def one(start):
+        d = jax.lax.dynamic_slice_in_dim(dist, start, Bp)
+        s = jax.lax.dynamic_slice_in_dim(scores, start, Bp)
+        c = jax.lax.dynamic_slice_in_dim(chroms, start, Bp)
+        sl = jax.lax.dynamic_slice_in_dim(slots, start, Bp)
+        pv, n, h, fin = mc_significance(
+            d, s, window_keys(key, c, sl), asize, bsize, chunk, runs,
+            threshold, max_chunks=max_chunks, bitgen=bitgen, form=form,
+        )
+        return jnp.stack(
+            [
+                pv,
+                n.astype(jnp.float64),
+                h.astype(jnp.float64),
+                fin.astype(jnp.float64),
+            ]
+        )
+
+    starts = jnp.arange(nb, dtype=jnp.int32) * Bp
+    out = jax.lax.map(one, starts)                 # [nb, 4, Bp]
+    return jnp.moveaxis(out, 1, 0).reshape(4, nb * Bp)
+
+
+@jax.jit
+def _assemble_rows(ds, mask):
+    return jnp.where(mask[:, None, None], jnp.concatenate(ds), 0.0)
+
+
+def assemble_rows(dists: list, valid: np.ndarray) -> jnp.ndarray:
+    """One-program assembly of the MC input: concatenate per-bucket
+    distance arrays and zero the invalid/padding rows (their observed
+    score is set to -inf by the caller so they finish at the first
+    chunk; zeroing keeps NaN distance entries of discarded windows out
+    of the hit comparisons).  Replaces per-bucket gathers + eager concat
+    (~1 tunnel round trip per op)."""
+    return _assemble_rows(list(dists), jnp.asarray(valid))
+
+
 @dataclasses.dataclass
 class McResult:
     pvals: np.ndarray      # [B]
@@ -457,6 +525,42 @@ def _null_power_sums(
     return jax.lax.map(one, k0 + jnp.arange(n_chunks))
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("Bp", "asize", "bsize", "chunk", "n_chunks", "bitgen"),
+)
+def _power_stage_all(
+    dist: jnp.ndarray,     # [Bt, m, m], Bt a multiple of Bp
+    chroms: jnp.ndarray,   # [Bt]
+    slots: jnp.ndarray,    # [Bt]
+    key: jax.Array,
+    k0: jnp.ndarray,
+    Bp: int,
+    asize: int,
+    bsize: int,
+    chunk: int,
+    n_chunks: int,
+    bitgen: str,
+) -> jnp.ndarray:
+    """Every window's null power sums as ONE device program (``lax.map``
+    over uniform batch slices, keys derived in-program — the dispatch
+    rationale of :func:`_mc_stage1_all`).  Returns [n_chunks, 3, Bt]."""
+    nb = dist.shape[0] // Bp
+
+    def one(start):
+        d = jax.lax.dynamic_slice_in_dim(dist, start, Bp)
+        c = jax.lax.dynamic_slice_in_dim(chroms, start, Bp)
+        sl = jax.lax.dynamic_slice_in_dim(slots, start, Bp)
+        return _null_power_sums(
+            d, window_keys(key, c, sl), asize, bsize, chunk, n_chunks,
+            k0, bitgen=bitgen,
+        )                                          # [K, 3, Bp]
+
+    starts = jnp.arange(nb, dtype=jnp.int32) * Bp
+    out = jax.lax.map(one, starts)                 # [nb, K, 3, Bp]
+    return jnp.moveaxis(out, 0, 2).reshape(n_chunks, 3, nb * Bp)
+
+
 def _pearson3_tail(scores, s1, s2, s3, n):
     """Upper-tail p under a Pearson-III fit to power sums (host, scipy)."""
     from scipy import stats as sstats
@@ -493,7 +597,7 @@ def approx_significance(
     bsize: int,
     key: jax.Array,
     chunk: int = 1024,
-    window_batch: int = 1024,
+    window_batch: int = 8192,
     chroms: np.ndarray | None = None,
     slots: np.ndarray | None = None,
     sharding=None,
@@ -540,9 +644,11 @@ def approx_significance(
     pvals = np.zeros(B)
     nsc = np.zeros(B, dtype=np.int64)
 
-    def _power(idx_p, n_new, k0):
-        """Fetched per-chunk power sums for padded global indices."""
-        out = _null_power_sums(
+    def _power_dispatch(idx_p, n_new, k0):
+        """Enqueue per-chunk power sums for padded global indices (no
+        host sync — a genome-scale call has ~100 window batches and a
+        sync per batch costs a full tunnel round trip each)."""
+        return _null_power_sums(
             _put(dist[idx_p], sharding),
             _window_streams(
                 key, len(idx_p), chroms[idx_p], slots[idx_p], sharding
@@ -554,54 +660,89 @@ def approx_significance(
             jnp.int32(k0),
             bitgen=bitgen,
         )
-        jax.block_until_ready(out)
-        return jax.device_get(out)
+
+    def _fetch_power(outs):
+        """ONE host sync for a stage: [(sel, [K, 3, Bp])] -> [K, 3, sum]."""
+        jax.block_until_ready([o for _, o in outs])
+        return jax.device_get(jnp.concatenate([o for _, o in outs], axis=2))
 
     def _drift(sc, half, n_half, tot, n_tot):
         p_full = _pearson3_tail(sc, tot[0], tot[1], tot[2], n_tot)
         p_half = _pearson3_tail(sc, half[0], half[1], half[2], n_half)
         return p_full, np.abs(np.log10(p_full) - np.log10(p_half))
 
-    for _, sel, sel_p in _batch_iter(B, window_batch, n_shards):
-        # round 0: n_chunks chunks for the whole batch; half-vs-full
-        # moment fits flag unstable windows
-        per_chunk = _power(sel_p, n_chunks, 0)            # [K0, 3, Bp]
-        tot = per_chunk.sum(axis=0)[:, : len(sel)]        # [3, Bw]
-        half_k = max(n_chunks // 2, 1)
-        half = per_chunk[:half_k].sum(axis=0)[:, : len(sel)]
-        k_done = n_chunks
-        p_full, drift = _drift(
-            scores[sel], half, half_k * chunk, tot, k_done * chunk
-        )
-        pvals[sel] = p_full
-        nsc[sel] = k_done * chunk
-        active = np.nonzero(drift > stable_log10)[0]      # indices into sel
+    # round 0: n_chunks chunks for every window — the whole sweep is ONE
+    # device program over uniform batch slices (see _power_stage_all) and
+    # one fetch; half-vs-full moment fits flag unstable windows
+    Bp = 8
+    while Bp < min(B, window_batch):
+        Bp *= 2
+    while Bp % n_shards:
+        Bp += n_shards - Bp % n_shards
+    Bt = -(-B // Bp) * Bp
+    pad = Bt - B
+    dist_j = dist if isinstance(dist, jax.Array) else jnp.asarray(dist)
+    if pad:
+        reps = -(-pad // B)
+        pad_rows = jnp.tile(dist_j[:1], (pad, 1, 1)) if reps > 1 \
+            else dist_j[:pad]
+        dist_p = jnp.concatenate([dist_j, pad_rows])
+        chroms_p = np.concatenate([chroms, np.zeros(pad, np.int64)])
+        slots_p = np.concatenate([slots, np.zeros(pad, np.int64)])
+    else:
+        dist_p, chroms_p, slots_p = dist_j, chroms, slots
+    out0 = _power_stage_all(
+        _put(dist_p, sharding),
+        _put(np.asarray(chroms_p, dtype=np.int64), sharding),
+        _put(np.asarray(slots_p, dtype=np.int64), sharding),
+        key,
+        jnp.int32(0),
+        Bp=Bp, asize=asize, bsize=bsize, chunk=chunk,
+        n_chunks=n_chunks, bitgen=bitgen,
+    )
+    jax.block_until_ready(out0)
+    per_chunk = jax.device_get(out0)[:, :, :B]            # [K0, 3, B]
+    tot = per_chunk.sum(axis=0)
+    half_k = max(n_chunks // 2, 1)
+    half = per_chunk[:half_k].sum(axis=0)
+    k_done = n_chunks
+    p_full, drift = _drift(
+        scores, half, half_k * chunk, tot, k_done * chunk
+    )
+    pvals[:] = p_full
+    nsc[:] = k_done * chunk
+    active = np.nonzero(drift > stable_log10)[0]          # global indices
 
-        # escalation rounds: COMPACT to the unstable windows and EXTEND
-        # their chunk-indexed streams (k0 = k_done), doubling the sample
-        for _round in range(max_rounds):
-            if len(active) == 0:
-                break
-            g = sel[active]
-            tot_g = tot[:, active]
-            for _, s2, s2_p in _batch_iter(len(g), window_batch, n_shards):
-                new = _power(g[s2_p], k_done, k_done)     # [k_done, 3, .]
-                new_tot = new.sum(axis=0)[:, : len(s2)]
-                half2 = tot_g[:, s2]                      # first half = old
-                tot2 = half2 + new_tot
-                p2, d2 = _drift(
-                    scores[g[s2]],
-                    half2,
-                    k_done * chunk,
-                    tot2,
-                    2 * k_done * chunk,
-                )
-                pvals[g[s2]] = p2
-                nsc[g[s2]] = 2 * k_done * chunk
-                tot[:, active[s2]] = tot2
-                drift[active[s2]] = d2
-            k_done *= 2
-            active = active[drift[active] > stable_log10]
+    # escalation rounds: COMPACT to the unstable windows and EXTEND
+    # their chunk-indexed streams (k0 = k_done), doubling the sample;
+    # all active windows escalate in lockstep, so every window still
+    # consumes the same chunk indices as the per-batch loop did
+    # (p-values bit-identical under the dispatch restructure)
+    for _round in range(max_rounds):
+        if len(active) == 0:
+            break
+        outs = [
+            (active[s2], _power_dispatch(active[s2_p], k_done, k_done))
+            for _, s2, s2_p in _batch_iter(
+                len(active), window_batch, n_shards
+            )
+        ]
+        new = _fetch_power(outs)                          # [k_done, 3, .]
+        off = 0
+        for g2, o in outs:
+            cols = slice(off, off + len(g2))
+            half2 = tot[:, g2]                            # first half = old
+            tot2 = half2 + new.sum(axis=0)[:, cols]
+            p2, d2 = _drift(
+                scores[g2], half2, k_done * chunk, tot2, 2 * k_done * chunk
+            )
+            pvals[g2] = p2
+            nsc[g2] = 2 * k_done * chunk
+            tot[:, g2] = tot2
+            drift[g2] = d2
+            off += o.shape[2]
+        k_done *= 2
+        active = active[drift[active] > stable_log10]
 
     return McResult(
         pvals=pvals, nscores=nsc, hits=np.zeros(B, dtype=np.int64)
@@ -617,7 +758,7 @@ def significance(
     runs: int,
     key: jax.Array,
     chunk: int = 256,
-    window_batch: int = 1024,
+    window_batch: int = 8192,
     chroms: np.ndarray | None = None,
     slots: np.ndarray | None = None,
     sharding=None,
@@ -688,60 +829,125 @@ def significance(
     # finished windows no longer ride along with their batch's slowest
     # (up to window_batch x redundant device work before).  Results are
     # bit-identical to the single-pass loop.
+    #
+    # Dispatch discipline: EVERY batch of a stage is enqueued before the
+    # stage's single packed host sync — the per-window streams are
+    # (chrom, slot)-keyed, so batches are independent.  A genome-scale
+    # run has ~100 window batches; fetching each one individually cost a
+    # full dispatch+sync round trip per batch (~1.2 s/batch on the
+    # remote-tunnel backend vs ~80 ms of MC compute — the MC ran at 3.6M
+    # perms/s e2e against its 54M perms/s in-loop rate, round 3).
     n_chunks_total = (runs + chunk - 1) // chunk
     stage1 = min(n_chunks_total, max(1, -(-4096 // chunk)))
 
-    def _fetch(pv, n, h, fin):
-        jax.block_until_ready(pv)
+    def _fetch_all(outs):
+        """One host sync for a whole stage: [(sel, (pv,n,h,fin))] ->
+        (pv, n, h, fin) numpy arrays concatenated over batches."""
+        jax.block_until_ready([o[1][0] for o in outs])
         packed = jax.device_get(
-            jnp.stack(
+            jnp.concatenate(
                 [
-                    pv,
-                    n.astype(jnp.float64),
-                    h.astype(jnp.float64),
-                    fin.astype(jnp.float64),
+                    jnp.stack(
+                        [
+                            pv,
+                            n.astype(jnp.float64),
+                            h.astype(jnp.float64),
+                            fin.astype(jnp.float64),
+                        ],
+                        axis=1,
+                    )
+                    for _, (pv, n, h, fin) in outs
                 ]
             )
         )
         return (
-            packed[0],
-            packed[1].astype(np.int64),
-            packed[2].astype(np.int64),
-            packed[3] != 0.0,
+            packed[:, 0],
+            packed[:, 1].astype(np.int64),
+            packed[:, 2].astype(np.int64),
+            packed[:, 3] != 0.0,
         )
 
-    for bi, sel, sel_p in _batch_iter(B, window_batch, n_shards):
-        dist_b = _put(dist[sel_p], sharding)
-        scores_b = _put(scores[sel_p], sharding)
-        keys_b = _window_streams(
-            key, len(sel_p), chroms[sel_p], slots[sel_p], sharding
-        )
-        seed0 = None
-        compact = stage1 if stage1 < n_chunks_total else None
-        if backend == "pallas":
-            # per-batch on-core-PRNG seed; single-pass (chunk streams are
-            # batch-keyed, so a compacted resume would replay different
-            # permutations than the single-pass loop)
+    def _scatter(outs, fetched):
+        off = 0
+        for sel, (pv_d, *_rest) in outs:
+            Bp = pv_d.shape[0]
+            rows = slice(off, off + len(sel))
+            pvals[sel] = fetched[0][rows]
+            nsc[sel] = fetched[1][rows]
+            hits[sel] = fetched[2][rows]
+            off += Bp
+        return fetched[3]
+
+    compact = stage1 if stage1 < n_chunks_total else None
+    if backend == "pallas":
+        # per-batch host loop (the pallas streams are batch+chunk-keyed,
+        # single-pass — see mc_significance); every batch dispatched
+        # before ONE packed fetch
+        stage1_outs = []
+        for bi, sel, sel_p in _batch_iter(B, window_batch, n_shards):
+            dist_b = _put(dist[sel_p], sharding)
+            scores_b = _put(scores[sel_p], sharding)
+            keys_b = _window_streams(
+                key, len(sel_p), chroms[sel_p], slots[sel_p], sharding
+            )
             seed0 = jax.random.randint(
                 jax.random.fold_in(key, 555 + bi), (), 0, 2**31 - 200_000
             ).astype(jnp.int32)
-            compact = None
-        out = mc_significance(
-            dist_b, scores_b, keys_b, asize, bsize, chunk, runs,
-            threshold, max_chunks=compact, backend=backend, seed0=seed0,
-            bitgen=bitgen, form=form,
+            out = mc_significance(
+                dist_b, scores_b, keys_b, asize, bsize, chunk, runs,
+                threshold, max_chunks=None, backend=backend, seed0=seed0,
+                bitgen=bitgen, form=form,
+            )
+            stage1_outs.append((sel, out))
+        fetched = _fetch_all(stage1_outs)
+        fin = _scatter(stage1_outs, fetched)
+        unfin = []
+        off = 0
+        for sel, (pv_d, *_rest) in stage1_outs:
+            unfin.append(sel[~fin[off : off + len(sel)]])
+            off += pv_d.shape[0]
+        g = np.concatenate(unfin) if unfin else np.zeros(0, np.int64)
+    else:
+        # stage 1 = ONE device program over uniform batch slices
+        # (_mc_stage1_all) and ONE fetch.  Pad rows carry score -inf
+        # (every permutation hits, so they finish at the first chunk) and
+        # repeat window 0's distances; their results are dropped.
+        Bp = 8
+        while Bp < min(B, window_batch):
+            Bp *= 2
+        while Bp % n_shards:
+            Bp += n_shards - Bp % n_shards
+        Bt = -(-B // Bp) * Bp
+        pad = Bt - B
+        dist_j = dist if isinstance(dist, jax.Array) else jnp.asarray(dist)
+        if pad:
+            reps = -(-pad // B)
+            pad_rows = jnp.tile(dist_j[:1], (pad, 1, 1)) if reps > 1 \
+                else dist_j[:pad]
+            dist_p = jnp.concatenate([dist_j, pad_rows])
+            scores_p = np.concatenate([scores, np.full(pad, -np.inf)])
+            chroms_p = np.concatenate([chroms, np.zeros(pad, np.int64)])
+            slots_p = np.concatenate([slots, np.zeros(pad, np.int64)])
+        else:
+            dist_p, scores_p, chroms_p, slots_p = dist_j, scores, chroms, slots
+        out = _mc_stage1_all(
+            _put(dist_p, sharding),
+            _put(np.asarray(scores_p, dtype=np.float64), sharding),
+            _put(np.asarray(chroms_p, dtype=np.int64), sharding),
+            _put(np.asarray(slots_p, dtype=np.int64), sharding),
+            key,
+            Bp=Bp, asize=asize, bsize=bsize, chunk=chunk, runs=runs,
+            threshold=threshold, max_chunks=compact, bitgen=bitgen,
+            form=form,
         )
-        pv, n, h, fin = _fetch(*out)
-        pvals[sel] = pv[: len(sel)]
-        nsc[sel] = n[: len(sel)]
-        hits[sel] = h[: len(sel)]
-
-        uf = np.nonzero(~fin[: len(sel)])[0]
-        if len(uf) == 0:
-            continue
-        # stage 2: resume the unfinished windows' streams from chunk
-        # `stage1` with their carried (hits, nscores)
-        g = sel[uf]                      # global indices
+        jax.block_until_ready(out)
+        fetched = jax.device_get(out)
+        pvals[:] = fetched[0, :B]
+        nsc[:] = fetched[1, :B].astype(np.int64)
+        hits[:] = fetched[2, :B].astype(np.int64)
+        g = np.nonzero(fetched[3, :B] == 0.0)[0]
+    if len(g):
+        stage2_outs = []
         for _, s2, s2_p in _batch_iter(len(g), window_batch, n_shards):
             gg = g[s2_p]
             dist2 = _put(dist[gg], sharding)
@@ -759,10 +965,7 @@ def significance(
                 dist2, scores2, keys2, asize, bsize, chunk, runs,
                 threshold, state=state, bitgen=bitgen, form=form,
             )
-            pv2, n2, h2, _ = _fetch(*out2)
-            tgt = g[s2]
-            pvals[tgt] = pv2[: len(s2)]
-            nsc[tgt] = n2[: len(s2)]
-            hits[tgt] = h2[: len(s2)]
+            stage2_outs.append((g[s2], out2))
+        _scatter(stage2_outs, _fetch_all(stage2_outs))
 
     return McResult(pvals=pvals, nscores=nsc, hits=hits)
