@@ -15,7 +15,12 @@ import jax
 import jax.numpy as jnp
 
 from divergence_tpu.config import CssConfig
-from divergence_tpu.core.batching import bucketize, upload_bucket
+from divergence_tpu.core.batching import (
+    Bucket,
+    _row_sharding,
+    bucketize,
+    upload_bucket,
+)
 from divergence_tpu.engine.fet_engine import _gather_windows
 from divergence_tpu.core.windows import plan_windows
 from divergence_tpu.engine.snp import SnpPair
@@ -73,57 +78,77 @@ def _css_phase1_dispatch(
     valid_npos = np.where(plan.valid_mask(), plan.npos, 0)
     if prefix is not None:
         # the prefix kernel never materializes [B, P, m] window gathers —
-        # its per-window cost is independent of padded_npos — so npos
-        # bucketing only fragments the batch: ONE shape bucket, large
-        # batches (each device launch costs a fixed dispatch latency on
-        # remote backends; a chromosome is 1-2 launches instead of ~5)
-        min_pad = 1 << max(int(valid_npos.max()) - 1, 0).bit_length()
-        buckets = bucketize(
-            plan.lo, valid_npos, plan.slot,
-            min_pad=max(min_pad, 32), max_batch=16384, max_elems=None,
+        # its per-window cost is independent of padded_npos — and the
+        # whole chromosome runs as ONE device program (lax.map over
+        # uniform descriptor slices, kcss.css_prefix_all): each launched
+        # op costs a fixed dispatch round trip on remote backends
+        ids = np.nonzero(valid_npos > 0)[0]
+        if len(ids) == 0:
+            return nslots, plan.num_windows, []
+        Bp = 8
+        while Bp < min(len(ids), 4096):
+            Bp *= 2
+        n_shards = 1
+        if sharding is not None:
+            n_shards = getattr(sharding, "num_devices", None) or len(
+                sharding.device_set
+            )
+        while Bp % n_shards:
+            Bp += n_shards - Bp % n_shards
+        Bt = -(-len(ids) // Bp) * Bp
+        rows = np.zeros((3, Bt), dtype=np.int64)
+        rows[0, : len(ids)] = plan.lo[ids]
+        rows[1, : len(ids)] = plan.npos[ids]  # pad rows: npos 0, invalid
+        rows[2, : len(ids)] = plan.slot[ids]
+        rows_d = jnp.asarray(rows)
+        if sharding is not None:
+            rows_d = jax.device_put(rows_d, _row_sharding(sharding))
+        s, dist, valid = kcss.css_prefix_all(
+            prefix,
+            rows_d,
+            key,
+            Bp=Bp,
+            asize=asize,
+            bsize=bsize,
+            mds=int(cfg.mds),
+            smacof_iters=cfg.smacof.max_iters,
+            smacof_inits=cfg.smacof.n_init,
+            smacof_eps=cfg.smacof.epsilon,
+            fast=cfg.precision == "fast",
         )
-    else:
-        buckets = bucketize(plan.lo, valid_npos, plan.slot, max_batch=4096)
+        bucket = Bucket(
+            padded_npos=0,
+            window_ids=ids,
+            lo=plan.lo[ids],
+            npos=plan.npos[ids],
+            slot=plan.slot[ids],
+        )
+        return nslots, plan.num_windows, [(bucket, s, dist, valid)]
 
-    # phase 1: scores + distance matrices for every valid window;
-    # dispatch all buckets asynchronously, materialize with one host sync
+    # drosophila/gather path: per-npos buckets, all dispatched before the
+    # shared host sync
+    buckets = bucketize(plan.lo, valid_npos, plan.slot, max_batch=4096)
     pending = []
     for bucket in buckets:
         lo_d, npos_d, slot_d = upload_bucket(bucket, sharding)
-        if prefix is None:
-            av, bv = _gather_windows(
-                avals_d, bvals_d, lo_d, npos_d, bucket.padded_npos
-            )
-            s, dist, valid = kcss.css_window_batch(
-                av,
-                bv,
-                npos_d,
-                key,
-                asize=asize,
-                bsize=bsize,
-                drosophila=cfg.drosophila,
-                mds=int(cfg.mds),
-                smacof_iters=cfg.smacof.max_iters,
-                smacof_inits=cfg.smacof.n_init,
-                smacof_eps=cfg.smacof.epsilon,
-                fast=cfg.precision == "fast",
-                slot=slot_d,
-            )
-        else:
-            s, dist, valid = kcss.css_window_batch_prefix(
-                prefix,
-                lo_d,
-                npos_d,
-                key,
-                asize=asize,
-                bsize=bsize,
-                mds=int(cfg.mds),
-                smacof_iters=cfg.smacof.max_iters,
-                smacof_inits=cfg.smacof.n_init,
-                smacof_eps=cfg.smacof.epsilon,
-                fast=cfg.precision == "fast",
-                slot=slot_d,
-            )
+        av, bv = _gather_windows(
+            avals_d, bvals_d, lo_d, npos_d, bucket.padded_npos
+        )
+        s, dist, valid = kcss.css_window_batch(
+            av,
+            bv,
+            npos_d,
+            key,
+            asize=asize,
+            bsize=bsize,
+            drosophila=cfg.drosophila,
+            mds=int(cfg.mds),
+            smacof_iters=cfg.smacof.max_iters,
+            smacof_inits=cfg.smacof.n_init,
+            smacof_eps=cfg.smacof.epsilon,
+            fast=cfg.precision == "fast",
+            slot=slot_d,
+        )
         pending.append((bucket, s, dist, valid))
     return nslots, plan.num_windows, pending
 

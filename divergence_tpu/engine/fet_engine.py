@@ -17,7 +17,7 @@ import jax
 import jax.numpy as jnp
 
 from divergence_tpu.config import FetConfig
-from divergence_tpu.core.batching import bucketize, upload_bucket
+from divergence_tpu.core.batching import _row_sharding, pad_batch
 from divergence_tpu.core.windows import plan_windows
 from divergence_tpu.engine.snp import SnpPair
 from divergence_tpu.kernels import fet as kfet
@@ -44,9 +44,13 @@ def _fet_dispatch(
     summary: RunSummary | None,
     key: jax.Array,
 ):
-    """Enqueue all bucket kernels for one chromosome (no host sync).
+    """Enqueue one chromosome's FET sweep as ONE device program (no host
+    sync): per-SNP logs (kfet.fet_snp_logs) + a ``lax.map`` over uniform
+    window slices (kfet.fet_aggregate_all) — the per-npos-bucket host
+    loop paid a fixed dispatch round trip per bucket launch and
+    descriptor upload on remote-tunnel backends.
 
-    Returns (nslots, pending) with pending = [(slot, Bw, s_dev, d_dev)]."""
+    Returns (nslots, pending) with pending = [(slot, Bw, out_2xBt)]."""
     w = cfg.window
     plan = plan_windows(pair.positions, regend, w.wsize, w.wstep)
     nslots = plan.nslots
@@ -64,63 +68,68 @@ def _fet_dispatch(
         avals_d, bvals_d, maxs, nmax, fast=cfg.precision == "fast"
     )
 
-    buckets = bucketize(
-        plan.lo,
-        np.where(plan.valid_mask(), plan.npos, 0),
-        plan.slot,
-        max_batch=4096,
-    )
+    valid = plan.valid_mask() & (plan.npos > 0)
+    ids = np.nonzero(valid)[0]
+    if len(ids) == 0:
+        return nslots, []
+    P = 32
+    while P < int(plan.npos[ids].max()):
+        P *= 2
+    Bp = pad_batch(min(len(ids), 4096))
+    n_shards = 1
+    if sharding is not None:
+        n_shards = getattr(sharding, "num_devices", None) or len(
+            sharding.device_set
+        )
+    while Bp % n_shards:
+        Bp += n_shards - Bp % n_shards
+    Bt = -(-len(ids) // Bp) * Bp
+    rows = np.zeros((3, Bt), dtype=np.int64)
+    rows[0, : len(ids)] = plan.lo[ids]
+    rows[1, : len(ids)] = plan.npos[ids]   # pad rows keep npos 0 (masked)
+    rows[2, : len(ids)] = plan.slot[ids]
+    rows_d = jnp.asarray(rows)
+    if sharding is not None:
+        rows_d = jax.device_put(rows_d, _row_sharding(sharding))
+
     if summary is not None:
         # accumulate across chromosomes (one summary spans a whole run)
         c = summary.counters
         c["windows_planned"] = c.get("windows_planned", 0) + plan.num_windows
-        c["windows_evaluated"] = c.get("windows_evaluated", 0) + int(
-            sum(len(b.window_ids) for b in buckets)
-        )
-        c["buckets"] = c.get("buckets", 0) + len(buckets)
+        c["windows_evaluated"] = c.get("windows_evaluated", 0) + len(ids)
+        c["buckets"] = c.get("buckets", 0) + Bt // Bp
 
-    pending = []
-    for bucket in buckets:
-        Bw = len(bucket.window_ids)
-        lo_d, npos_d, slot_d = upload_bucket(bucket, sharding)
-        s, d = kfet.fet_aggregate_windows(
-            snp_logs,
-            lo_d,
-            npos_d,
-            slot_d,
-            float(cfg.percentile),
-            key,
-            nsamples=cfg.bootstrap_samples,
-            P=bucket.padded_npos,
-            fast=cfg.precision == "fast",
-        )
-        pending.append((bucket.slot, Bw, s, d))
-    return nslots, pending
+    out = kfet.fet_aggregate_all(
+        snp_logs,
+        rows_d,
+        key,
+        Bp=Bp,
+        P=P,
+        perc=float(cfg.percentile),
+        nsamples=cfg.bootstrap_samples,
+        fast=cfg.precision == "fast",
+    )
+    return nslots, [(plan.slot[ids], len(ids), out)]
 
 
 def _fetch_packed(all_pending):
-    """ONE host sync for any number of chromosomes' pending buckets.
+    """ONE host sync for any number of chromosomes' pending sweeps.
 
     device_get of a pytree fetches leaf-by-leaf (one round trip each), so
     everything is packed into a single [2, total] device array first.
     Blocking on the in-flight kernels before dispatching the pack keeps
     the eager concat off remote backends' slow scheduling path."""
-    jax.block_until_ready([(s, d) for _, _, s, d in all_pending])
-    packed = jnp.stack(
-        [
-            jnp.concatenate([s for _, _, s, _ in all_pending]),
-            jnp.concatenate([d for _, _, _, d in all_pending]),
-        ]
-    )
+    jax.block_until_ready([out for _, _, out in all_pending])
+    packed = jnp.concatenate([out for _, _, out in all_pending], axis=1)
     return jax.device_get(packed)
 
 
 def _scatter(pending, fetched, off, scores, stddev):
-    for slot, Bw, s, _ in pending:
-        Bp = s.shape[0]
+    for slot, Bw, out in pending:
+        Bt = out.shape[1]
         scores[slot] = fetched[0, off : off + Bw]
         stddev[slot] = fetched[1, off : off + Bw]
-        off += Bp
+        off += Bt
     return off
 
 

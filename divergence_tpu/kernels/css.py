@@ -356,6 +356,49 @@ def css_window_batch_prefix(
     )
 
 
+@functools.partial(
+    jax.jit, static_argnames=("Bp", "asize", "bsize", "mds",
+                              "smacof_iters", "smacof_inits", "fast")
+)
+def css_prefix_all(
+    prefix: jnp.ndarray,   # [N+1, m, m] dissimilarity_prefix
+    rows: jnp.ndarray,     # [3, Bt] packed lo/npos/slot, Bt % Bp == 0
+    key: jax.Array,
+    Bp: int,
+    asize: int,
+    bsize: int,
+    mds: int = 0,
+    smacof_iters: int = 300,
+    smacof_inits: int = 4,
+    smacof_eps: float = 1e-6,
+    fast: bool = False,
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Every window of a chromosome in ONE device program: ``lax.map``
+    over uniform [Bp] slices of the packed window descriptors, each
+    slice running :func:`css_window_batch_prefix` (per-window results
+    identical — dispatch rationale in the engine; each launched op costs
+    a fixed round trip on remote-tunnel backends).  Returns
+    (scores [Bt], dist [Bt, m, m], valid [Bt])."""
+    nb = rows.shape[1] // Bp
+
+    def one(start):
+        r = jax.lax.dynamic_slice_in_dim(rows, start, Bp, axis=1)
+        return css_window_batch_prefix(
+            prefix, r[0], r[1], key, asize=asize, bsize=bsize, mds=mds,
+            smacof_iters=smacof_iters, smacof_inits=smacof_inits,
+            smacof_eps=smacof_eps, fast=fast, slot=r[2],
+        )
+
+    starts = jnp.arange(nb, dtype=jnp.int32) * Bp
+    s, dist, valid = jax.lax.map(one, starts)    # [nb, Bp(, m, m)]
+    m = dist.shape[-1]
+    return (
+        s.reshape(nb * Bp),
+        dist.reshape(nb * Bp, m, m),
+        valid.reshape(nb * Bp),
+    )
+
+
 def _score_pipeline(
     dis: jnp.ndarray,      # [B, m, m] window dissimilarities (dtype set)
     npos: jnp.ndarray,

@@ -254,6 +254,43 @@ def fet_aggregate_windows(
 
 
 @functools.partial(
+    jax.jit, static_argnames=("Bp", "P", "perc", "nsamples", "fast")
+)
+def fet_aggregate_all(
+    snp_logs: jnp.ndarray,    # [N] per-SNP -log10 p (fet_snp_logs)
+    rows: jnp.ndarray,        # [3, Bt] packed lo/npos/slot, Bt % Bp == 0
+    key: jax.Array,           # CHROMOSOME key
+    Bp: int,                  # static windows per map slice
+    P: int,                   # static padded SNP count (uniform)
+    perc: float,
+    nsamples: int,
+    fast: bool = False,
+) -> jnp.ndarray:
+    """Every window of a chromosome in ONE device program: ``lax.map``
+    over uniform [Bp] slices of the packed window descriptors, each
+    slice running :func:`fet_aggregate_windows`.  On remote-tunnel
+    backends each dispatched op costs a fixed round trip, so the former
+    per-npos-bucket host loop (~7 launches + descriptor uploads per
+    chromosome) was dispatch-bound (round 3).  A uniform ``P`` is
+    result-IDENTICAL: the sort pads with -inf below the valid ranks and
+    the bootstrap's Renyi steps are drawn per ``fold_in(wkey, step)``
+    and masked past each window's true step count
+    (:func:`_order_stat_uniforms`).  Returns [2, Bt] (scores, stddev)."""
+    nb = rows.shape[1] // Bp
+
+    def one(start):
+        r = jax.lax.dynamic_slice_in_dim(rows, start, Bp, axis=1)
+        s, d = fet_aggregate_windows(
+            snp_logs, r[0], r[1], r[2], perc, key, nsamples, P, fast
+        )
+        return jnp.stack([s, d])
+
+    starts = jnp.arange(nb, dtype=jnp.int32) * Bp
+    out = jax.lax.map(one, starts)                 # [nb, 2, Bp]
+    return jnp.moveaxis(out, 0, 1).reshape(2, nb * Bp)
+
+
+@functools.partial(
     jax.jit, static_argnames=("perc", "nsamples", "maxs", "nmax", "fast")
 )
 def fet_window_batch(
