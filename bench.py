@@ -332,6 +332,28 @@ def main() -> None:
         }
     )
 
+    # chromosome-scale CSS scan (the FET bench chromosome: ~20k windows,
+    # mixed significance like production data): measures the DISPATCH
+    # path — genome-sized runs were launch-bound on the remote tunnel
+    # (~100 batches x fixed round trip) before the fused one-program
+    # sweeps (round 3), which the 997-window worst-case above is too
+    # small to expose
+    if not cpu_fallback:
+        run_css(pair, region, css_cfg)
+        gsum = RunSummary()
+        t0 = time.perf_counter()
+        gs, _ = run_css(pair, region, css_cfg, summary=gsum, seqid="chrG")
+        g_s = time.perf_counter() - t0
+        g_nw = int(np.count_nonzero(gs))
+        g_mc = gsum.counters.get("mc_permutations", 0)
+        print(
+            f"[bench] css chromosome-scale: {g_s:.2f}s for {g_nw} windows "
+            f"({g_nw / g_s:,.0f} win/s, {g_mc / 1e6:.0f}M MC perms)",
+            file=sys.stderr,
+        )
+        extras["css_chrom_scale_windows_per_sec"] = round(g_nw / g_s, 1)
+        extras["css_chrom_scale_wall_s"] = round(g_s, 2)
+
     # Pearson-III approx mode: the production estimator at scale
     approx_cfg = CssConfig(precision="fast", p_mode="approx")
     run_css(cpair, css_region, approx_cfg)
