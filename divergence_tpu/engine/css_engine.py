@@ -58,25 +58,23 @@ def _css_phase1_dispatch(
     # stickleback dissimilarity is pure ==-counting (kcss.dissimilarity*),
     # so the int16 form is result-identical at 1/4 the tunnel transfer;
     # drosophila frequency tracks keep the float upload (compare_freq
-    # does real arithmetic on the values, reference statistics/css/css.c:245-264)
-    avals_d, bvals_d = pair.device_values(compact=not cfg.drosophila)
+    # does real arithmetic on the values, reference statistics/css/css.c:245-264);
+    # joint: ONE upload serves both populations and both engines
+    vals_d = pair.device_values_joint(compact=not cfg.drosophila)
 
     # stickleback path: chromosome-wide mismatch prefix sums ONCE —
     # every window's dissimilarity is one [m, m] difference (windows
-    # overlap wsize/wstep-fold; kcss.dissimilarity_prefix).  Guarded by
-    # the PREFIX_MAX_ELEMS budget (see above).
-    prefix = None
+    # overlap wsize/wstep-fold; computed inside kcss.css_prefix_all).
+    # Guarded by the PREFIX_MAX_ELEMS budget (see above).
     m_all = asize + bsize
-    npad_dev = int(avals_d.shape[0])
-    if (
+    npad_dev = int(vals_d.shape[0])
+    use_prefix = (
         not cfg.drosophila
         and (npad_dev + 1) * m_all * m_all <= PREFIX_MAX_ELEMS
-    ):
-        vals_d = jnp.concatenate([avals_d, bvals_d], axis=-1)
-        prefix = kcss.dissimilarity_prefix(vals_d)
+    )
 
     valid_npos = np.where(plan.valid_mask(), plan.npos, 0)
-    if prefix is not None:
+    if use_prefix:
         # the prefix kernel never materializes [B, P, m] window gathers —
         # its per-window cost is independent of padded_npos — and the
         # whole chromosome runs as ONE device program (lax.map over
@@ -104,7 +102,7 @@ def _css_phase1_dispatch(
         if sharding is not None:
             rows_d = jax.device_put(rows_d, _row_sharding(sharding))
         s, dist, valid = kcss.css_prefix_all(
-            prefix,
+            vals_d,
             rows_d,
             key,
             Bp=Bp,
@@ -129,6 +127,7 @@ def _css_phase1_dispatch(
     # shared host sync
     buckets = bucketize(plan.lo, valid_npos, plan.slot, max_batch=4096)
     pending = []
+    avals_d, bvals_d = pair.device_values(compact=not cfg.drosophila)
     for bucket in buckets:
         lo_d, npos_d, slot_d = upload_bucket(bucket, sharding)
         av, bv = _gather_windows(

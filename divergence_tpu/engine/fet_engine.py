@@ -58,14 +58,15 @@ def _fet_dispatch(
         return nslots, []
 
     # compact=True: FET only ever == -compares the codes (count_tables),
-    # so the int16 form is result-identical at 1/4 the tunnel transfer
-    avals_d, bvals_d = pair.device_values(compact=True)
+    # so the int16 form is result-identical at 1/4 the tunnel transfer;
+    # joint: one upload serves both populations (and the CSS engine)
+    vals_d = pair.device_values_joint(compact=True)
     maxs = kfet.support_size(pair.asize, pair.bsize)
     nmax = pair.asize + pair.bsize + 2
     # per-SNP exact tests ONCE per chromosome; windows overlap
     # wsize/wstep-fold and gather from this array (kfet.fet_snp_logs)
-    snp_logs = kfet.fet_snp_logs(
-        avals_d, bvals_d, maxs, nmax, fast=cfg.precision == "fast"
+    snp_logs = kfet.fet_snp_logs_joint(
+        vals_d, pair.asize, maxs, nmax, fast=cfg.precision == "fast"
     )
 
     valid = plan.valid_mask() & (plan.npos > 0)

@@ -23,10 +23,12 @@ class SnpPair:
     avals: np.ndarray      # [npos, asize] genotype codes
     bvals: np.ndarray      # [npos, bsize]
 
-    def device_values(self, compact: bool = False):
-        """(avals, bvals) as device arrays, uploaded once and cached —
-        both engines and repeated runs reuse the same HBM copy (host→device
-        transfers dominate small runs).
+    def device_values_joint(self, compact: bool = False):
+        """Both populations as ONE [npad, asize+bsize] device array
+        (group-A columns first), uploaded once and cached — one
+        host→device transfer serves both engines and repeated runs
+        (every transfer pays a fixed round trip on remote-tunnel
+        backends, and HBM holds one genotype copy).
 
         The SNP axis is padded to the next power of two (fill = -10000,
         the missing code, which counts nothing in any kernel): the
@@ -43,29 +45,20 @@ class SnpPair:
         reference tools/VCFConvert.py:8-17).  Callers that only *compare*
         values — FET's ``count_tables`` is pure ``==`` counting
         (reference statistics/fisher/cFisher.c:208-238) — get identical results from a 4x
-        smaller host→device transfer, which dominates chromosome-scale
-        runs on remote-tunnel backends (~14 MB/s observed).  Non-integral
-        values (drosophila frequency tracks) fall back to the float
-        upload.
-
-        When a non-compact view of int16-safe values is requested, it is
-        DERIVED on device from the cached int16 upload (one ``astype``,
-        exact for int16-range integers) — mixed compact/non-compact
-        consumers of the same pair therefore still pay one host→device
-        transfer and hold one HBM genotype copy plus the small derived
-        view."""
-        key = "_device_vals_i16" if compact else "_device_vals"
+        smaller host→device transfer.  Non-integral values (drosophila
+        frequency tracks) fall back to the float upload; a non-compact
+        view of int16-safe values is DERIVED on device from the cached
+        int16 upload (one ``astype``, exact for int16-range integers)."""
+        key = "_device_joint_i16" if compact else "_device_joint"
         if compact and not self._int16_safe():
-            compact, key = False, "_device_vals"
+            compact, key = False, "_device_joint"
         cached = getattr(self, key, None)
         if cached is None:
             import jax.numpy as jnp
 
             if not compact and self._int16_safe():
                 tgt = jnp.result_type(self.avals.dtype)
-                cached = tuple(
-                    v.astype(tgt) for v in self.device_values(compact=True)
-                )
+                cached = self.device_values_joint(compact=True).astype(tgt)
                 object.__setattr__(self, key, cached)
                 return cached
 
@@ -75,23 +68,37 @@ class SnpPair:
                 npad *= 2
             pad = npad - n
 
-            def up(mat):
-                if compact:
-                    mat = mat.astype(np.int16)
-                elif (
-                    np.issubdtype(mat.dtype, np.integer)
-                    and np.iinfo(mat.dtype).min > -10000
-                ):
-                    # the pad sentinel must be representable (int8/uint*
-                    # would overflow or wrap); int16-safe inputs never
-                    # reach here, so this is the >32767-range case
-                    mat = mat.astype(np.int64)
-                if pad:
-                    mat = np.pad(mat, ((0, pad), (0, 0)),
-                                 constant_values=mat.dtype.type(-10000))
-                return jnp.asarray(mat)
+            mat = np.concatenate([self.avals, self.bvals], axis=1)
+            if compact:
+                mat = mat.astype(np.int16)
+            elif (
+                np.issubdtype(mat.dtype, np.integer)
+                and np.iinfo(mat.dtype).min > -10000
+            ):
+                # the pad sentinel must be representable (int8/uint*
+                # would overflow or wrap); int16-safe inputs never
+                # reach here, so this is the >32767-range case
+                mat = mat.astype(np.int64)
+            if pad:
+                mat = np.pad(mat, ((0, pad), (0, 0)),
+                             constant_values=mat.dtype.type(-10000))
+            cached = jnp.asarray(mat)
+            object.__setattr__(self, key, cached)
+        return cached
 
-            cached = (up(self.avals), up(self.bvals))
+    def device_values(self, compact: bool = False):
+        """(avals, bvals) device views, sliced from the single joint
+        upload (:meth:`device_values_joint`) and cached — kernels that
+        take the populations separately share the same HBM transfer."""
+        key = (
+            "_device_vals_i16"
+            if compact and self._int16_safe()
+            else "_device_vals"
+        )
+        cached = getattr(self, key, None)
+        if cached is None:
+            joint = self.device_values_joint(compact=compact)
+            cached = (joint[:, : self.asize], joint[:, self.asize :])
             object.__setattr__(self, key, cached)
         return cached
 

@@ -361,7 +361,7 @@ def css_window_batch_prefix(
                               "smacof_iters", "smacof_inits", "fast")
 )
 def css_prefix_all(
-    prefix: jnp.ndarray,   # [N+1, m, m] dissimilarity_prefix
+    vals: jnp.ndarray,     # [N, m] joint genotype upload (A cols first)
     rows: jnp.ndarray,     # [3, Bt] packed lo/npos/slot, Bt % Bp == 0
     key: jax.Array,
     Bp: int,
@@ -373,12 +373,15 @@ def css_prefix_all(
     smacof_eps: float = 1e-6,
     fast: bool = False,
 ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """Every window of a chromosome in ONE device program: ``lax.map``
-    over uniform [Bp] slices of the packed window descriptors, each
-    slice running :func:`css_window_batch_prefix` (per-window results
-    identical — dispatch rationale in the engine; each launched op costs
-    a fixed round trip on remote-tunnel backends).  Returns
+    """Every window of a chromosome in ONE device program: the
+    chromosome-wide mismatch prefix (:func:`dissimilarity_prefix`,
+    hoisted out of the loop by XLA) + ``lax.map`` over uniform [Bp]
+    slices of the packed window descriptors, each slice running
+    :func:`css_window_batch_prefix` (per-window results identical —
+    dispatch rationale in the engine; each launched op costs a fixed
+    round trip on remote-tunnel backends).  Returns
     (scores [Bt], dist [Bt, m, m], valid [Bt])."""
+    prefix = dissimilarity_prefix(vals)
     nb = rows.shape[1] // Bp
 
     def one(start):

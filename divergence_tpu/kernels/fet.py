@@ -190,6 +190,25 @@ def _table_grid(asize: int, bsize: int) -> np.ndarray:
     return g.reshape(4, -1).T
 
 
+@functools.partial(
+    jax.jit, static_argnames=("asize", "maxs", "nmax", "fast")
+)
+def fet_snp_logs_joint(
+    vals: jnp.ndarray,        # [N, asize+bsize] joint genotype upload
+    asize: int,
+    maxs: int,
+    nmax: int,
+    fast: bool = False,
+) -> jnp.ndarray:
+    """:func:`fet_snp_logs` over the single joint genotype array
+    (SnpPair.device_values_joint) — the population split happens inside
+    the program instead of as eager device slices (each eager op costs a
+    fixed round trip on remote-tunnel backends)."""
+    return fet_snp_logs(
+        vals[:, :asize], vals[:, asize:], maxs, nmax, fast=fast
+    )
+
+
 @functools.partial(jax.jit, static_argnames=("maxs", "nmax", "fast"))
 def fet_snp_logs(
     avals: jnp.ndarray,       # [N, asize] genotype codes, whole chromosome

@@ -257,11 +257,20 @@ def test_compact_int16_upload_identical(rng):
     np.testing.assert_array_equal(np.asarray(b16), np.asarray(bf))
 
     # mixed-order consumers: a fresh pair asked float-first also ends up
-    # with both views backed by one upload
+    # with both views backed by the one int16 joint upload
     pair_m = SnpPair(positions=positions, avals=av, bvals=bv)
     am, _ = pair_m.device_values()
     assert am.dtype == np.float64
-    assert getattr(pair_m, "_device_vals_i16", None) is not None
+    assert getattr(pair_m, "_device_joint_i16", None) is not None
+    # and the joint array is the A|B concatenation the engines consume
+    j = pair_m.device_values_joint(compact=True)
+    assert j.dtype == np.int16 and j.shape[1] == 11
+    np.testing.assert_array_equal(
+        np.asarray(j[:npos, :6], dtype=np.float64), av
+    )
+    np.testing.assert_array_equal(
+        np.asarray(j[:npos, 6:], dtype=np.float64), bv
+    )
 
     fcfg = FetConfig(window=WCFG)
     ccfg = CssConfig(window=WCFG, mc_runs=200, mc_chunk=64)
