@@ -430,6 +430,62 @@ def _mc_stage1_all(
     return jnp.moveaxis(out, 1, 0).reshape(4, nb * Bp)
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("Bp", "asize", "bsize", "chunk", "runs", "threshold",
+                     "k0", "bitgen", "form"),
+)
+def _mc_stage2_all(
+    dist: jnp.ndarray,     # [Bt, m, m] the stage-1 device array
+    scores: jnp.ndarray,   # [Bt]
+    chroms: jnp.ndarray,   # [Bt]
+    slots: jnp.ndarray,    # [Bt]
+    idx: jnp.ndarray,      # [Bg] unfinished-window rows, padded, % Bp == 0
+    state_hn: jnp.ndarray,  # [2, Bg] carried (hits, nscores) int32
+    key: jax.Array,
+    Bp: int,
+    asize: int,
+    bsize: int,
+    chunk: int,
+    runs: int,
+    threshold: int,
+    k0: int,
+    bitgen: str,
+    form: str,
+) -> jnp.ndarray:
+    """Stage 2 (the cap-bound windows' compacted resume) as one device
+    program: gather the unfinished rows from the stage-1 arrays
+    in-program and resume their chunk-indexed streams from ``k0`` —
+    the host-side gathers + state uploads this replaces each cost a
+    dispatch round trip.  Returns [4, Bg] like :func:`_mc_stage1_all`."""
+    nb = idx.shape[0] // Bp
+
+    def one(start):
+        sl = jax.lax.dynamic_slice_in_dim(idx, start, Bp)
+        d = jnp.take(dist, sl, axis=0)
+        s = jnp.take(scores, sl)
+        c = jnp.take(chroms, sl)
+        so = jnp.take(slots, sl)
+        hn = jax.lax.dynamic_slice_in_dim(state_hn, start, Bp, axis=1)
+        state = (jnp.int32(k0), hn[0], hn[1], jnp.zeros(Bp, dtype=bool))
+        pv, n, h, fin = mc_significance(
+            d, s, window_keys(key, c, so), asize, bsize, chunk, runs,
+            threshold, state=state, bitgen=bitgen, form=form,
+        )
+        return jnp.stack(
+            [
+                pv,
+                n.astype(jnp.float64),
+                h.astype(jnp.float64),
+                fin.astype(jnp.float64),
+            ]
+        )
+
+    starts = jnp.arange(nb, dtype=jnp.int32) * Bp
+    out = jax.lax.map(one, starts)
+    return jnp.moveaxis(out, 1, 0).reshape(4, nb * Bp)
+
+
 @jax.jit
 def _assemble_rows(ds, mask):
     return jnp.where(mask[:, None, None], jnp.concatenate(ds), 0.0)
@@ -930,11 +986,12 @@ def significance(
             slots_p = np.concatenate([slots, np.zeros(pad, np.int64)])
         else:
             dist_p, scores_p, chroms_p, slots_p = dist_j, scores, chroms, slots
+        dist_d = _put(dist_p, sharding)
+        scores_d = _put(np.asarray(scores_p, dtype=np.float64), sharding)
+        chroms_d = _put(np.asarray(chroms_p, dtype=np.int64), sharding)
+        slots_d = _put(np.asarray(slots_p, dtype=np.int64), sharding)
         out = _mc_stage1_all(
-            _put(dist_p, sharding),
-            _put(np.asarray(scores_p, dtype=np.float64), sharding),
-            _put(np.asarray(chroms_p, dtype=np.int64), sharding),
-            _put(np.asarray(slots_p, dtype=np.int64), sharding),
+            dist_d, scores_d, chroms_d, slots_d,
             key,
             Bp=Bp, asize=asize, bsize=bsize, chunk=chunk, runs=runs,
             threshold=threshold, max_chunks=compact, bitgen=bitgen,
@@ -946,6 +1003,38 @@ def significance(
         nsc[:] = fetched[1, :B].astype(np.int64)
         hits[:] = fetched[2, :B].astype(np.int64)
         g = np.nonzero(fetched[3, :B] == 0.0)[0]
+
+        if len(g):
+            # stage 2 as one program, gathering from the stage-1 arrays
+            Bp2 = 8
+            while Bp2 < min(len(g), window_batch):
+                Bp2 *= 2
+            while Bp2 % n_shards:
+                Bp2 += n_shards - Bp2 % n_shards
+            Bg = -(-len(g) // Bp2) * Bp2
+            idx = np.full(Bg, g[0], dtype=np.int32)
+            idx[: len(g)] = g
+            hn = np.zeros((2, Bg), dtype=np.int32)
+            hn[0, : len(g)] = hits[g]
+            hn[1, : len(g)] = nsc[g]
+            hn_sh = sharding
+            if sharding is not None:
+                from divergence_tpu.core.batching import _row_sharding
+
+                hn_sh = _row_sharding(sharding)
+            out2 = _mc_stage2_all(
+                dist_d, scores_d, chroms_d, slots_d,
+                _put(idx, sharding), _put(hn, hn_sh), key,
+                Bp=Bp2, asize=asize, bsize=bsize, chunk=chunk,
+                runs=runs, threshold=threshold, k0=stage1,
+                bitgen=bitgen, form=form,
+            )
+            jax.block_until_ready(out2)
+            f2 = jax.device_get(out2)
+            pvals[g] = f2[0, : len(g)]
+            nsc[g] = f2[1, : len(g)].astype(np.int64)
+            hits[g] = f2[2, : len(g)].astype(np.int64)
+        return McResult(pvals=pvals, nscores=nsc, hits=hits)
     if len(g):
         stage2_outs = []
         for _, s2, s2_p in _batch_iter(len(g), window_batch, n_shards):
