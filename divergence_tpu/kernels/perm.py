@@ -1035,26 +1035,8 @@ def significance(
             nsc[g] = f2[1, : len(g)].astype(np.int64)
             hits[g] = f2[2, : len(g)].astype(np.int64)
         return McResult(pvals=pvals, nscores=nsc, hits=hits)
-    if len(g):
-        stage2_outs = []
-        for _, s2, s2_p in _batch_iter(len(g), window_batch, n_shards):
-            gg = g[s2_p]
-            dist2 = _put(dist[gg], sharding)
-            scores2 = _put(scores[gg], sharding)
-            keys2 = _window_streams(
-                key, len(gg), chroms[gg], slots[gg], sharding
-            )
-            state = (
-                jnp.int32(stage1),
-                _put(hits[gg].astype(np.int32), sharding),
-                _put(nsc[gg].astype(np.int32), sharding),
-                _put(np.zeros(len(gg), dtype=bool), sharding),
-            )
-            out2 = mc_significance(
-                dist2, scores2, keys2, asize, bsize, chunk, runs,
-                threshold, state=state, bitgen=bitgen, form=form,
-            )
-            stage2_outs.append((g[s2], out2))
-        _scatter(stage2_outs, _fetch_all(stage2_outs))
 
+    # pallas stage 1 is a full single pass (max_chunks=None), so every
+    # window is finished and no stage 2 exists
+    assert len(g) == 0, "pallas stage 1 must finish every window"
     return McResult(pvals=pvals, nscores=nsc, hits=hits)
