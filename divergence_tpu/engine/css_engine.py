@@ -1,10 +1,10 @@
 """Per-chromosome CSS engine.
 
-Orchestrates: window plan -> npos buckets -> batched CSS kernel (scores +
-per-window distance matrices) -> chromosome-wide chunked permutation MC.
-Replaces the reference pthread pool (reference statistics/css/threadcss.c:52-109); the Monte-Carlo
-runs over *all* valid windows of the chromosome at once, so its batch
-size is independent of SNP-count bucketing.
+Orchestrates: window plan -> one fused device program per chromosome
+(scores + per-window distance matrices; kcss.css_prefix_all /
+css_gather_all) -> genome-wide chunked permutation MC.  Replaces the
+reference pthread pool (reference statistics/css/threadcss.c:52-109);
+the Monte-Carlo runs over *all* valid windows of the run at once.
 """
 
 from __future__ import annotations
@@ -15,13 +15,7 @@ import jax
 import jax.numpy as jnp
 
 from divergence_tpu.config import CssConfig
-from divergence_tpu.core.batching import (
-    Bucket,
-    _row_sharding,
-    bucketize,
-    upload_bucket,
-)
-from divergence_tpu.engine.fet_engine import _gather_windows
+from divergence_tpu.core.batching import Bucket, _row_sharding
 from divergence_tpu.core.windows import plan_windows
 from divergence_tpu.engine.snp import SnpPair
 from divergence_tpu.kernels import css as kcss
@@ -35,6 +29,33 @@ from divergence_tpu.utils.summary import RunSummary
 # back to the per-bucket gather kernel, whose footprint is bounded by
 # the bucket element budget instead.
 PREFIX_MAX_ELEMS = 1 << 28
+
+
+def _pack_rows(plan, ids, cap: int, sharding):
+    """Pack the valid windows' (lo, npos, slot) descriptors into a
+    [3, Bt] device array whose window axis is a multiple of the uniform
+    batch Bp = min(pow2(len(ids)), cap), rounded up to the shard count.
+    Pad rows keep npos 0 (the kernels mark them invalid).  Returns
+    (rows_d, Bp)."""
+    Bp = 8
+    while Bp < min(len(ids), cap):
+        Bp *= 2
+    n_shards = 1
+    if sharding is not None:
+        n_shards = getattr(sharding, "num_devices", None) or len(
+            sharding.device_set
+        )
+    while Bp % n_shards:
+        Bp += n_shards - Bp % n_shards
+    Bt = -(-len(ids) // Bp) * Bp
+    rows = np.zeros((3, Bt), dtype=np.int64)
+    rows[0, : len(ids)] = plan.lo[ids]
+    rows[1, : len(ids)] = plan.npos[ids]
+    rows[2, : len(ids)] = plan.slot[ids]
+    rows_d = jnp.asarray(rows)
+    if sharding is not None:
+        rows_d = jax.device_put(rows_d, _row_sharding(sharding))
+    return rows_d, Bp
 
 
 def _css_phase1_dispatch(
@@ -83,24 +104,7 @@ def _css_phase1_dispatch(
         ids = np.nonzero(valid_npos > 0)[0]
         if len(ids) == 0:
             return nslots, plan.num_windows, []
-        Bp = 8
-        while Bp < min(len(ids), 4096):
-            Bp *= 2
-        n_shards = 1
-        if sharding is not None:
-            n_shards = getattr(sharding, "num_devices", None) or len(
-                sharding.device_set
-            )
-        while Bp % n_shards:
-            Bp += n_shards - Bp % n_shards
-        Bt = -(-len(ids) // Bp) * Bp
-        rows = np.zeros((3, Bt), dtype=np.int64)
-        rows[0, : len(ids)] = plan.lo[ids]
-        rows[1, : len(ids)] = plan.npos[ids]  # pad rows: npos 0, invalid
-        rows[2, : len(ids)] = plan.slot[ids]
-        rows_d = jnp.asarray(rows)
-        if sharding is not None:
-            rows_d = jax.device_put(rows_d, _row_sharding(sharding))
+        rows_d, Bp = _pack_rows(plan, ids, 4096, sharding)
         s, dist, valid = kcss.css_prefix_all(
             vals_d,
             rows_d,
@@ -123,33 +127,45 @@ def _css_phase1_dispatch(
         )
         return nslots, plan.num_windows, [(bucket, s, dist, valid)]
 
-    # drosophila/gather path: per-npos buckets, all dispatched before the
-    # shared host sync
-    buckets = bucketize(plan.lo, valid_npos, plan.slot, max_batch=4096)
-    pending = []
+    # drosophila / over-the-prefix-budget path: the same one-program
+    # sweep, window genotypes gathered in-program at a uniform padded P
+    # (the per-npos bucket loop paid a dispatch round trip per launch);
+    # Bp keeps the [Bp, P] gather rows under the element budget so dense
+    # chromosomes stream instead of materializing multi-GB gathers
+    ids = np.nonzero(valid_npos > 0)[0]
+    if len(ids) == 0:
+        return nslots, plan.num_windows, []
+    P = 32
+    while P < int(plan.npos[ids].max()):
+        P *= 2
+    rows_d, Bp = _pack_rows(
+        plan, ids, min(4096, max(8, (1 << 21) // P)), sharding
+    )
     avals_d, bvals_d = pair.device_values(compact=not cfg.drosophila)
-    for bucket in buckets:
-        lo_d, npos_d, slot_d = upload_bucket(bucket, sharding)
-        av, bv = _gather_windows(
-            avals_d, bvals_d, lo_d, npos_d, bucket.padded_npos
-        )
-        s, dist, valid = kcss.css_window_batch(
-            av,
-            bv,
-            npos_d,
-            key,
-            asize=asize,
-            bsize=bsize,
-            drosophila=cfg.drosophila,
-            mds=int(cfg.mds),
-            smacof_iters=cfg.smacof.max_iters,
-            smacof_inits=cfg.smacof.n_init,
-            smacof_eps=cfg.smacof.epsilon,
-            fast=cfg.precision == "fast",
-            slot=slot_d,
-        )
-        pending.append((bucket, s, dist, valid))
-    return nslots, plan.num_windows, pending
+    s, dist, valid = kcss.css_gather_all(
+        avals_d,
+        bvals_d,
+        rows_d,
+        key,
+        Bp=Bp,
+        P=P,
+        asize=asize,
+        bsize=bsize,
+        drosophila=cfg.drosophila,
+        mds=int(cfg.mds),
+        smacof_iters=cfg.smacof.max_iters,
+        smacof_inits=cfg.smacof.n_init,
+        smacof_eps=cfg.smacof.epsilon,
+        fast=cfg.precision == "fast",
+    )
+    bucket = Bucket(
+        padded_npos=P,
+        window_ids=ids,
+        lo=plan.lo[ids],
+        npos=plan.npos[ids],
+        slot=plan.slot[ids],
+    )
+    return nslots, plan.num_windows, [(bucket, s, dist, valid)]
 
 
 def _css_phase1_fetch(all_pending):

@@ -402,6 +402,59 @@ def css_prefix_all(
     )
 
 
+@functools.partial(
+    jax.jit, static_argnames=("Bp", "P", "asize", "bsize", "drosophila",
+                              "mds", "smacof_iters", "smacof_inits", "fast")
+)
+def css_gather_all(
+    avals: jnp.ndarray,    # [N, asize] chromosome genotype/frequency cols
+    bvals: jnp.ndarray,    # [N, bsize]
+    rows: jnp.ndarray,     # [3, Bt] packed lo/npos/slot, Bt % Bp == 0
+    key: jax.Array,
+    Bp: int,
+    P: int,                # static padded SNP count (uniform)
+    asize: int,
+    bsize: int,
+    drosophila: bool = False,
+    mds: int = 0,
+    smacof_iters: int = 300,
+    smacof_inits: int = 4,
+    smacof_eps: float = 1e-6,
+    fast: bool = False,
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """The gather-path chromosome sweep (drosophila frequency tracks and
+    chromosomes over the prefix memory budget) as ONE device program:
+    ``lax.map`` over uniform [Bp] descriptor slices, window genotypes
+    gathered in-program at a uniform padded P (rows past ``npos`` are
+    masked in the kernels, so a uniform P is result-identical to the
+    per-npos buckets it replaces).  Returns
+    (scores [Bt], dist [Bt, m, m], valid [Bt])."""
+    offs = jnp.arange(P, dtype=rows.dtype)[None, :]
+    nb = rows.shape[1] // Bp
+
+    def one(start):
+        r = jax.lax.dynamic_slice_in_dim(rows, start, Bp, axis=1)
+        lo, npos, slot = r[0], r[1], r[2]
+        idx = jnp.where(offs < npos[:, None], lo[:, None] + offs, 0)
+        av = jnp.take(avals, idx, axis=0)
+        bv = jnp.take(bvals, idx, axis=0)
+        return css_window_batch(
+            av, bv, npos, key, asize=asize, bsize=bsize,
+            drosophila=drosophila, mds=mds, smacof_iters=smacof_iters,
+            smacof_inits=smacof_inits, smacof_eps=smacof_eps, fast=fast,
+            slot=slot,
+        )
+
+    starts = jnp.arange(nb, dtype=jnp.int32) * Bp
+    s, dist, valid = jax.lax.map(one, starts)
+    m = dist.shape[-1]
+    return (
+        s.reshape(nb * Bp),
+        dist.reshape(nb * Bp, m, m),
+        valid.reshape(nb * Bp),
+    )
+
+
 def _score_pipeline(
     dis: jnp.ndarray,      # [B, m, m] window dissimilarities (dtype set)
     npos: jnp.ndarray,
