@@ -144,11 +144,18 @@ def cmds(dis: jnp.ndarray) -> jnp.ndarray:
     b = -0.5 * (d2 - row - col + grand)
     vals, vecs = top2_eig(b)                     # [B, 2], [B, m, 2]
     # zero out numerical dust so a true-zero second eigenvalue doesn't
-    # turn into sqrt(-1e-15) = NaN; genuinely negative eigenvalues still
-    # produce NaN exactly like the reference's sqrt (reference statistics/css/css.c:557-559).
+    # turn into sqrt(-eps) = NaN; the dust bound is DTYPE-dependent —
+    # float32 rounding leaves ~1e-7-relative residues, far past the
+    # f64-calibrated 1e-9 (found round 3 as NaN-scored fast-mode
+    # drosophila windows: the 2x2 case has an exactly-zero second
+    # eigenvalue).  Genuinely negative eigenvalues still produce NaN
+    # exactly like the reference's sqrt (reference statistics/css/css.c:557-559);
+    # in fast mode the distinction is only resolvable down to f32
+    # precision, consistent with its documented ~1e-5 score tolerance.
+    dust = 1e-5 if vals.dtype == jnp.float32 else 1e-9
     scale = jnp.maximum(jnp.abs(vals[..., :1]), 1.0)
     vals = jnp.where(
-        (vals < 0) & (vals > -1e-9 * scale), 0.0, vals
+        (vals < 0) & (vals > -dust * scale), 0.0, vals
     )
     return vecs * jnp.sqrt(vals)[..., None, :]
 
