@@ -172,8 +172,21 @@ class CssConfig:
     # "broadcast" = one fused [B, m, m, K] coefficient pass (the CPU
     # in-loop winner); "matmul" = between-group sum as a batched matmul
     # via the +-1 identity (MXU candidate — the TPU A/B in bench-mc
-    # decides).
+    # decides).  Applies to mc_stream="window" only.
     perm_form: str = "broadcast"
+
+    # Permutation-stream design (kernels/perm.py:significance):
+    # "shared" (default) = each chunk's permutations are keyed by
+    # (seed, chunk) alone and shared by every window — one genome-wide
+    # label permutation per draw (Westfall & Young's standard setup; the
+    # group labels being permuted ARE the same individuals genome-wide).
+    # Collapses the chunk evaluation to one MXU matmul (measured 63.7G
+    # perms/s vs 260M per-window at production shape, round 4) and makes
+    # p-values invariant under batching/sharding/resume by construction.
+    # "window" = per-window (seed, chrom, slot, chunk)-pinned streams
+    # (the round-3 design; required by perm_backend="native"/"pallas",
+    # independent MC noise across windows).
+    mc_stream: str = "shared"
 
     def __post_init__(self) -> None:
         if self.mc_threshold <= 0 or self.mc_runs <= 0:
@@ -198,6 +211,12 @@ class CssConfig:
             raise ValueError("rng must be 'mix' or 'threefry'")
         if self.perm_form not in ("broadcast", "matmul"):
             raise ValueError("perm_form must be 'broadcast' or 'matmul'")
+        if self.mc_stream not in ("shared", "window"):
+            raise ValueError("mc_stream must be 'shared' or 'window'")
+        if self.perm_backend in ("native", "pallas") \
+                and self.mc_stream == "shared":
+            # the native/pallas evaluators replay per-window streams
+            object.__setattr__(self, "mc_stream", "window")
 
 
 @dataclasses.dataclass(frozen=True)

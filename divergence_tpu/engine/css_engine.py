@@ -277,17 +277,10 @@ def run_css_multi(
         return {}
     summary = summary or RunSummary()
 
-    first_pair = next(iter(pairs.values()))[0]
-    asize, bsize = first_pair.asize, first_pair.bsize
-
     per_chrom = []
     planned_total = 0
     with summary.stage("css_dispatch"):
         for seqid, (pair, regend) in sorted(pairs.items()):
-            if (pair.asize, pair.bsize) != (asize, bsize):
-                raise ValueError(
-                    f"{seqid}: population sizes differ between chromosomes"
-                )
             # chromosome-pinned RNG stream: phase-1 results do not depend
             # on which other chromosomes share the run (or host partition)
             ckey = jax.random.fold_in(key, kperm.chrom_hash(seqid))
@@ -295,9 +288,11 @@ def run_css_multi(
                 pair, regend, cfg, sharding, ckey
             )
             planned_total += planned
-            per_chrom.append((seqid, nslots, pending))
+            per_chrom.append(
+                (seqid, nslots, pending, pair.asize, pair.bsize)
+            )
 
-    all_pending = [p for _, _, pending in per_chrom for p in pending]
+    all_pending = [p for _, _, pending, _, _ in per_chrom for p in pending]
     with summary.stage("css_phase1_sync"):
         fetched = _css_phase1_fetch(all_pending) if all_pending else None
 
@@ -311,7 +306,7 @@ def run_css_multi(
         [],
     )
     with summary.stage("css_collect"):
-        for seqid, nslots, pending in per_chrom:
+        for seqid, nslots, pending, asz, bsz in per_chrom:
             if pending:
                 rslot, rscore, rvalid, dists, disc, off = _css_collect(
                     pending, fetched, off
@@ -320,22 +315,39 @@ def run_css_multi(
                 rslot, rscore, rvalid, dists = empty
                 disc = 0
             n_discarded += disc
-            chrom_data.append((seqid, nslots, rslot, rscore, rvalid, dists))
+            chrom_data.append(
+                (seqid, nslots, rslot, rscore, rvalid, dists, asz, bsz)
+            )
 
     # phase 2: genome-wide adaptive permutation MC at bucket-row
     # granularity (invalid/pad rows finish at the first chunk and are
-    # dropped; see _css_collect)
+    # dropped; see _css_collect).  Chromosomes are grouped by panel size
+    # (asize, bsize): the reference processes each chromosome region
+    # independently and allows per-region population sizes (reference
+    # statistics/CategoryClusterSeparationStat.py:32-80) — same-panel
+    # chromosomes still batch into one genome-wide MC.
     n_scored = int(sum(c[4].sum() for c in chrom_data))
     results: dict[str, tuple[np.ndarray, np.ndarray]] = {}
-    if n_scored:
+    mc_perms = 0
+    groups: dict[tuple[int, int], list] = {}
+    for c in chrom_data:
+        groups.setdefault((c[6], c[7]), []).append(c)
+    for (asz, bsz), group in groups.items():
+        if not int(sum(c[4].sum() for c in group)):
+            for seqid, nslots, *_ in group:
+                results[seqid] = (
+                    np.zeros(nslots, dtype=np.float64),
+                    np.zeros(nslots, dtype=np.float64),
+                )
+            continue
         with summary.stage("css_mc"):
-            valid_all = np.concatenate([c[4] for c in chrom_data])
+            valid_all = np.concatenate([c[4] for c in group])
             # one-program device assembly of every bucket's distance
             # matrices (never fetched to host; invalid rows zeroed)
             dists_all = kperm.assemble_rows(
-                [d for c in chrom_data for d in c[5]], valid_all
+                [d for c in group for d in c[5]], valid_all
             )
-            scores_all = np.concatenate([c[3] for c in chrom_data])
+            scores_all = np.concatenate([c[3] for c in group])
             # per-window RNG identity: (chromosome, slot) — MC p-values
             # are invariant to batch composition, sharding, host partition
             chroms_all = np.concatenate(
@@ -343,14 +355,14 @@ def run_css_multi(
                     np.full(
                         len(c[3]), kperm.chrom_hash(c[0]), dtype=np.int64
                     )
-                    for c in chrom_data
+                    for c in group
                 ]
             )
             slots_all = np.concatenate(
-                [np.asarray(c[2], dtype=np.int64) for c in chrom_data]
+                [np.asarray(c[2], dtype=np.int64) for c in group]
             )
-            a_mc = 1 if cfg.drosophila else asize
-            b_mc = 1 if cfg.drosophila else bsize
+            a_mc = 1 if cfg.drosophila else asz
+            b_mc = 1 if cfg.drosophila else bsz
             if cfg.p_mode == "approx":
                 mc = kperm.approx_significance(
                     dists_all,
@@ -364,6 +376,7 @@ def run_css_multi(
                     slots=slots_all,
                     sharding=sharding,
                     bitgen=cfg.rng,
+                    stream=cfg.mc_stream,
                 )
             else:
                 mc = kperm.significance(
@@ -382,10 +395,10 @@ def run_css_multi(
                     backend=cfg.perm_backend,
                     bitgen=cfg.rng,
                     form=cfg.perm_form,
+                    stream=cfg.mc_stream,
                 )
         mc_off = 0
-        mc_perms = 0
-        for seqid, nslots, rslot, rscore, rvalid, _ in chrom_data:
+        for seqid, nslots, rslot, rscore, rvalid, *_ in group:
             scores = np.zeros(nslots, dtype=np.float64)
             pvals = np.zeros(nslots, dtype=np.float64)
             nrows = len(rscore)
@@ -395,13 +408,6 @@ def run_css_multi(
             mc_perms += int(mc.nscores[mc_off : mc_off + nrows][rvalid].sum())
             mc_off += nrows
             results[seqid] = (scores, pvals)
-    else:
-        for seqid, nslots, *_ in chrom_data:
-            results[seqid] = (
-                np.zeros(nslots, dtype=np.float64),
-                np.zeros(nslots, dtype=np.float64),
-            )
-        mc_perms = 0
 
     if summary is not None:
         c = summary.counters

@@ -246,15 +246,64 @@ def _fold_chunk(keys: jax.Array, k) -> jax.Array:
     return jax.vmap(jax.random.fold_in, in_axes=(0, None))(keys, k)
 
 
+def _shared_coeff(
+    key: jax.Array,
+    k,
+    m: int,
+    asize: int,
+    bsize: int,
+    chunk: int,
+    bitgen: str = "mix",
+) -> jnp.ndarray:
+    """Rank-coefficient matrix M [m*m, chunk] of one SHARED permutation
+    chunk: column K holds vec(C_sigma) with
+    C_sigma[j, l] = u_j (1-u_l)/(a b) - (a+b) w(r_j) 1[r_l = r_j + 1],
+    the coefficients the reference CSS applies to D under permutation
+    sigma (reference statistics/css/css.c:608-647).  The chunk's
+    permutations are keyed by ``fold_in(key, k)`` ALONE — one genome-wide
+    label permutation per draw (Westfall & Young's standard setup: the
+    group labels being permuted are the same individuals genome-wide),
+    shared by every window.  That collapses the whole chunk evaluation
+    to ONE matmul ``D_flat [B, m^2] @ M`` on the MXU — measured 63.7G
+    perms/s vs 260M for the per-window broadcast evaluator at production
+    shape (baseline/exp_mc_variants.py, round 4)."""
+    kc = jax.random.fold_in(key, k)
+    r = _ranks(kc[None], chunk, m, bitgen)[0]       # [m, K]
+    wa, wb = _chain_weights(asize, bsize)
+    wj = wa * (r < asize - 1) + wb * ((r >= asize) & (r < m - 1))
+    adj = (r[None, :, :] == r[:, None, :] + 1).astype(jnp.float32)
+    u = (r < asize).astype(jnp.float32)
+    coeff = (u[:, None, :] * (1.0 - u[None, :, :])) / (asize * bsize) \
+        - (asize + bsize) * wj[:, None, :] * adj    # [m, m, K]
+    return coeff.reshape(m * m, chunk)
+
+
+def _shared_perm_scores(
+    distf: jnp.ndarray,   # [B, m, m] f32
+    key: jax.Array,       # run-level typed key (NOT per-window)
+    k,
+    asize: int,
+    bsize: int,
+    chunk: int,
+    bitgen: str = "mix",
+) -> jnp.ndarray:
+    """CSS of chunk ``k``'s shared permutations for every window:
+    [B, K] f32 via one MXU matmul (see :func:`_shared_coeff`)."""
+    B, m = distf.shape[0], distf.shape[-1]
+    M = _shared_coeff(key, k, m, asize, bsize, chunk, bitgen)
+    return jnp.matmul(distf.reshape(B, m * m), M)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("asize", "bsize", "chunk", "runs", "threshold",
-                     "max_chunks", "backend", "bitgen", "form"),
+                     "max_chunks", "backend", "bitgen", "form", "stream"),
 )
 def mc_significance(
     dist: jnp.ndarray,      # [B, m, m]
     scores: jnp.ndarray,    # [B] observed CSS
-    keys: jax.Array,        # [B] per-window PRNG keys
+    keys: jax.Array,        # [B] per-window PRNG keys (stream="window")
+                            # or ONE run-level key (stream="shared")
     asize: int,
     bsize: int,
     chunk: int,
@@ -266,6 +315,7 @@ def mc_significance(
     seed0: jnp.ndarray | None = None,
     bitgen: str = "mix",
     form: str = "broadcast",
+    stream: str = "window",
 ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Adaptive permutation MC for one window batch, on device.
 
@@ -308,6 +358,10 @@ def mc_significance(
 
             new_scores = perm_scores_pallas(
                 distf, seed0 + k, asize, bsize, chunk
+            )
+        elif stream == "shared":
+            new_scores = _shared_perm_scores(
+                distf, keys, k, asize, bsize, chunk, bitgen=bitgen
             )
         else:
             new_scores = _perm_scores(
@@ -380,7 +434,7 @@ def permutation_chunk(
 @functools.partial(
     jax.jit,
     static_argnames=("Bp", "asize", "bsize", "chunk", "runs", "threshold",
-                     "max_chunks", "bitgen", "form"),
+                     "max_chunks", "bitgen", "form", "stream"),
 )
 def _mc_stage1_all(
     dist: jnp.ndarray,     # [Bt, m, m], Bt a multiple of Bp
@@ -397,6 +451,7 @@ def _mc_stage1_all(
     max_chunks: int | None,
     bitgen: str,
     form: str,
+    stream: str = "window",
 ) -> jnp.ndarray:
     """The ENTIRE stage-1 sweep as one device program: ``lax.map`` over
     uniform batch slices of the genome-wide arrays, per-window keys
@@ -412,9 +467,11 @@ def _mc_stage1_all(
         s = jax.lax.dynamic_slice_in_dim(scores, start, Bp)
         c = jax.lax.dynamic_slice_in_dim(chroms, start, Bp)
         sl = jax.lax.dynamic_slice_in_dim(slots, start, Bp)
+        ks = key if stream == "shared" else window_keys(key, c, sl)
         pv, n, h, fin = mc_significance(
-            d, s, window_keys(key, c, sl), asize, bsize, chunk, runs,
+            d, s, ks, asize, bsize, chunk, runs,
             threshold, max_chunks=max_chunks, bitgen=bitgen, form=form,
+            stream=stream,
         )
         return jnp.stack(
             [
@@ -433,7 +490,7 @@ def _mc_stage1_all(
 @functools.partial(
     jax.jit,
     static_argnames=("Bp", "asize", "bsize", "chunk", "runs", "threshold",
-                     "k0", "bitgen", "form"),
+                     "k0", "bitgen", "form", "stream"),
 )
 def _mc_stage2_all(
     dist: jnp.ndarray,     # [Bt, m, m] the stage-1 device array
@@ -452,6 +509,7 @@ def _mc_stage2_all(
     k0: int,
     bitgen: str,
     form: str,
+    stream: str = "window",
 ) -> jnp.ndarray:
     """Stage 2 (the cap-bound windows' compacted resume) as one device
     program: gather the unfinished rows from the stage-1 arrays
@@ -468,9 +526,11 @@ def _mc_stage2_all(
         so = jnp.take(slots, sl)
         hn = jax.lax.dynamic_slice_in_dim(state_hn, start, Bp, axis=1)
         state = (jnp.int32(k0), hn[0], hn[1], jnp.zeros(Bp, dtype=bool))
+        ks = key if stream == "shared" else window_keys(key, c, so)
         pv, n, h, fin = mc_significance(
-            d, s, window_keys(key, c, so), asize, bsize, chunk, runs,
+            d, s, ks, asize, bsize, chunk, runs,
             threshold, state=state, bitgen=bitgen, form=form,
+            stream=stream,
         )
         return jnp.stack(
             [
@@ -544,17 +604,18 @@ def _put(x, sharding):
 
 @functools.partial(
     jax.jit, static_argnames=("asize", "bsize", "chunk", "n_chunks",
-                              "bitgen")
+                              "bitgen", "stream")
 )
 def _null_power_sums(
     dist: jnp.ndarray,     # [B, m, m]
-    keys: jax.Array,       # [B]
+    keys: jax.Array,       # [B] (stream="window") or one key ("shared")
     asize: int,
     bsize: int,
     chunk: int,
     n_chunks: int,
     k0: jnp.ndarray | int = 0,
     bitgen: str = "mix",
+    stream: str = "window",
 ) -> jnp.ndarray:
     """Power sums of the permutation null, per chunk: [n_chunks, 3, B]
     with rows (sum s, sum s^2, sum s^3) in f64 — raw material for
@@ -566,9 +627,15 @@ def _null_power_sums(
     distf = dist.astype(jnp.float32)
 
     def one(k):
-        s = _perm_scores(
-            distf, _fold_chunk(keys, k), asize, bsize, chunk, bitgen=bitgen
-        )
+        if stream == "shared":
+            s = _shared_perm_scores(
+                distf, keys, k, asize, bsize, chunk, bitgen=bitgen
+            )
+        else:
+            s = _perm_scores(
+                distf, _fold_chunk(keys, k), asize, bsize, chunk,
+                bitgen=bitgen,
+            )
         s64 = s.astype(jnp.float64)
         return jnp.stack(
             [
@@ -583,7 +650,8 @@ def _null_power_sums(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("Bp", "asize", "bsize", "chunk", "n_chunks", "bitgen"),
+    static_argnames=("Bp", "asize", "bsize", "chunk", "n_chunks", "bitgen",
+                     "stream"),
 )
 def _power_stage_all(
     dist: jnp.ndarray,     # [Bt, m, m], Bt a multiple of Bp
@@ -597,6 +665,7 @@ def _power_stage_all(
     chunk: int,
     n_chunks: int,
     bitgen: str,
+    stream: str = "window",
 ) -> jnp.ndarray:
     """Every window's null power sums as ONE device program (``lax.map``
     over uniform batch slices, keys derived in-program — the dispatch
@@ -607,9 +676,10 @@ def _power_stage_all(
         d = jax.lax.dynamic_slice_in_dim(dist, start, Bp)
         c = jax.lax.dynamic_slice_in_dim(chroms, start, Bp)
         sl = jax.lax.dynamic_slice_in_dim(slots, start, Bp)
+        ks = key if stream == "shared" else window_keys(key, c, sl)
         return _null_power_sums(
-            d, window_keys(key, c, sl), asize, bsize, chunk, n_chunks,
-            k0, bitgen=bitgen,
+            d, ks, asize, bsize, chunk, n_chunks,
+            k0, bitgen=bitgen, stream=stream,
         )                                          # [K, 3, Bp]
 
     starts = jnp.arange(nb, dtype=jnp.int32) * Bp
@@ -661,6 +731,7 @@ def approx_significance(
     stable_log10: float = 0.5,
     max_rounds: int = 3,
     bitgen: str = "mix",
+    stream: str = "window",
 ) -> McResult:
     """Pearson-III (moment-fitted) permutation p-values.
 
@@ -704,17 +775,19 @@ def approx_significance(
         """Enqueue per-chunk power sums for padded global indices (no
         host sync — a genome-scale call has ~100 window batches and a
         sync per batch costs a full tunnel round trip each)."""
+        ks = key if stream == "shared" else _window_streams(
+            key, len(idx_p), chroms[idx_p], slots[idx_p], sharding
+        )
         return _null_power_sums(
             _put(dist[idx_p], sharding),
-            _window_streams(
-                key, len(idx_p), chroms[idx_p], slots[idx_p], sharding
-            ),
+            ks,
             asize,
             bsize,
             chunk,
             n_new,
             jnp.int32(k0),
             bitgen=bitgen,
+            stream=stream,
         )
 
     def _fetch_power(outs):
@@ -754,7 +827,7 @@ def approx_significance(
         key,
         jnp.int32(0),
         Bp=Bp, asize=asize, bsize=bsize, chunk=chunk,
-        n_chunks=n_chunks, bitgen=bitgen,
+        n_chunks=n_chunks, bitgen=bitgen, stream=stream,
     )
     jax.block_until_ready(out0)
     per_chunk = jax.device_get(out0)[:, :, :B]            # [K0, 3, B]
@@ -821,18 +894,37 @@ def significance(
     backend: str = "xla",
     bitgen: str = "mix",
     form: str = "broadcast",
+    stream: str = "window",
 ) -> McResult:
     """Adaptive permutation p-values for a set of windows.
 
     Drives :func:`mc_significance` over padded window batches — one
     device dispatch + one host sync per batch, with the adaptive
-    chunk loop entirely on device.  ``chroms``/``slots`` pin each
-    window's RNG stream to its genomic identity (batch- and
-    shard-invariant p-values); ``sharding`` places the window axis over
-    a mesh.  ``backend="pallas"`` selects the fused on-core-PRNG chunk
+    chunk loop entirely on device.  ``sharding`` places the window axis
+    over a mesh.
+
+    ``stream`` selects the permutation-stream design:
+
+    * ``"shared"`` — each chunk's permutations are keyed by
+      ``fold_in(key, chunk)`` alone and SHARED by every window
+      (Westfall-Young-style genome-wide label permutation); the chunk
+      evaluation is one MXU matmul (:func:`_shared_coeff`).  P-values
+      are invariant under batching, sharding, ``--resume`` and host
+      partitioning by construction (the stream does not reference the
+      window at all), and common random numbers across windows reduce
+      the variance of BETWEEN-window p comparisons.
+    * ``"window"`` — per-window streams pinned to ``chroms``/``slots``
+      (the round-3 design; required by ``backend="native"``).
+
+    ``backend="pallas"`` selects the fused on-core-PRNG chunk
     kernel (single-pass, streams keyed per batch+chunk — see
     :func:`mc_significance`)."""
     B = len(scores)
+    if stream == "shared" and backend in ("native", "pallas"):
+        raise ValueError(
+            f"backend={backend!r} replays per-window streams; "
+            "use stream='window'"
+        )
     if backend == "pallas" and chunk % 128 != 0:
         chunk = ((chunk + 127) // 128) * 128  # Pallas lane constraint
     pvals = np.zeros(B, dtype=np.float64)
@@ -995,7 +1087,7 @@ def significance(
             key,
             Bp=Bp, asize=asize, bsize=bsize, chunk=chunk, runs=runs,
             threshold=threshold, max_chunks=compact, bitgen=bitgen,
-            form=form,
+            form=form, stream=stream,
         )
         jax.block_until_ready(out)
         fetched = jax.device_get(out)
@@ -1027,7 +1119,7 @@ def significance(
                 _put(idx, sharding), _put(hn, hn_sh), key,
                 Bp=Bp2, asize=asize, bsize=bsize, chunk=chunk,
                 runs=runs, threshold=threshold, k0=stage1,
-                bitgen=bitgen, form=form,
+                bitgen=bitgen, form=form, stream=stream,
             )
             jax.block_until_ready(out2)
             f2 = jax.device_get(out2)

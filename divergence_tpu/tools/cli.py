@@ -131,60 +131,75 @@ def _run_engine(args, engine, cfg, columns, engine_multi=None) -> None:
     results = {}
     t0 = time.perf_counter()
     total_windows = 0
-    if engine_multi is not None and not args.resume and len(pairs) > 1:
+
+    # Resume: load chromosomes whose part files already exist and drop
+    # them from the work list — the REMAINDER still runs through the
+    # fused genome-wide path below (a resumed run keeps the fresh run's
+    # dispatch structure; per-window RNG streams are (chrom, slot)-pinned
+    # so the tracks are byte-identical, docs/PARITY.md "Stream identity").
+    remaining = pairs
+    if parts_dir is not None:
+        import numpy as np
+
+        remaining = {}
+        for seqid, (pair, regend) in pairs.items():
+            part = parts_dir / f"{seqid}.tsv"
+            if not part.exists():
+                remaining[seqid] = (pair, regend)
+                continue
+            _, starts, c2, c3 = read_score_track(part)
+            nslots = cfg.window.num_slots(regend)
+            s = np.zeros(nslots)
+            x = np.zeros(nslots)
+            slots = starts // cfg.window.wstep
+            s[slots] = c2
+            x[slots] = c3
+            results[seqid] = (s, x)
+            print(f"{seqid}: resumed from {part}")
+
+    def _finish_chrom(seqid):
+        nonlocal total_windows
+        nw = int((results[seqid][0] != 0).sum())
+        total_windows += nw
+        print(f"{seqid}: {nw} scored windows")
+        if parts_dir is not None:
+            write_score_track(
+                parts_dir / f"{seqid}.tsv",
+                {seqid: results[seqid]},
+                cfg.window.wstep,
+                columns,
+            )
+
+    if engine_multi is not None and len(remaining) > 1:
         # genome-wide path: every chromosome enqueued before the single
         # host sync (and, for CSS, one genome-wide permutation MC)
         with profile_ctx, summary.stage("genome"):
-            results = engine_multi(
-                pairs, cfg, sharding=sharding, summary=summary
+            results.update(
+                engine_multi(
+                    remaining, cfg, sharding=sharding, summary=summary
+                )
             )
-        for seqid, (s, _) in results.items():
-            nw = int((s != 0).sum())
-            total_windows += nw
-            print(f"{seqid}: {nw} scored windows")
-        elapsed = time.perf_counter() - t0
-        summary.counters["total_s"] = round(elapsed, 3)
-        summary.counters["windows_per_s"] = round(total_windows / elapsed, 1)
-        write_score_track(args.out, results, cfg.window.wstep, columns)
-        print(f"wrote {args.out}")
-        if args.summary:
-            summary.write(args.summary)
-        return
-    with profile_ctx:
-        for seqid, (pair, regend) in pairs.items():
-            part = parts_dir / f"{seqid}.tsv" if parts_dir else None
-            if part is not None and part.exists():
-                _, starts, c2, c3 = read_score_track(part)
-                nslots = cfg.window.num_slots(regend)
-                import numpy as np
-
-                s = np.zeros(nslots)
-                x = np.zeros(nslots)
-                slots = starts // cfg.window.wstep
-                s[slots] = c2
-                x[slots] = c3
-                results[seqid] = (s, x)
-                print(f"{seqid}: resumed from {part}")
-                continue
-            with summary.stage(seqid):
-                results[seqid] = engine(
-                    pair,
-                    regend,
-                    cfg,
-                    sharding=sharding,
-                    summary=summary,
-                    seqid=seqid,
-                )
-            nw = int((results[seqid][0] != 0).sum())
-            total_windows += nw
-            print(f"{seqid}: {pair.npos} SNPs, {nw} scored windows")
-            if part is not None:
-                write_score_track(
-                    part, {seqid: results[seqid]}, cfg.window.wstep, columns
-                )
+        for seqid in remaining:
+            _finish_chrom(seqid)
+    else:
+        with profile_ctx:
+            for seqid, (pair, regend) in remaining.items():
+                with summary.stage(seqid):
+                    results[seqid] = engine(
+                        pair,
+                        regend,
+                        cfg,
+                        sharding=sharding,
+                        summary=summary,
+                        seqid=seqid,
+                    )
+                _finish_chrom(seqid)
     elapsed = time.perf_counter() - t0
     summary.counters["total_s"] = round(elapsed, 3)
     summary.counters["windows_per_s"] = round(total_windows / elapsed, 1)
+    # chromosome order in the track is the load order, not the (resume
+    # -dependent) completion order: resumed-vs-fresh byte identity
+    results = {s: results[s] for s in pairs if s in results}
     write_score_track(args.out, results, cfg.window.wstep, columns)
     print(f"wrote {args.out}")
     if args.summary:
@@ -231,6 +246,7 @@ def cmd_run_css(args) -> None:
         perm_backend=args.perm_backend,
         rng=args.rng,
         perm_form=args.perm_form,
+        mc_stream=args.mc_stream,
     )
     from divergence_tpu.engine.css_engine import run_css_multi
 
@@ -492,6 +508,16 @@ def build_parser() -> argparse.ArgumentParser:
         default="broadcast",
         help="arithmetic form of the xla chunk evaluator (identical "
         "permutations; bench-mc inloop A/B decides per hardware)",
+    )
+    p.add_argument(
+        "--mc-stream",
+        choices=["shared", "window"],
+        default="shared",
+        help="permutation-stream design: shared = one genome-wide label "
+        "permutation per draw, shared by all windows (Westfall-Young "
+        "setup; ~250x faster on the MXU, batch/shard/resume-invariant "
+        "by construction); window = independent per-window streams "
+        "(round-3 design, required by --perm-backend native/pallas)",
     )
     p.set_defaults(fn=cmd_run_css)
 

@@ -163,7 +163,11 @@ def test_css_engine_native_backend():
         return np.where(g < 0.45, 3.0, np.where(g < 0.9, 0.0, -3.0))
 
     pair = SnpPair(positions=positions, avals=draw(6), bvals=draw(5))
-    cfg = dict(precision="fast", mc_runs=2000, mc_threshold=5)
+    # native replays the per-WINDOW stream (mc_stream="window"); the
+    # shared-stream default is a different (coarser-keyed) stream
+    cfg = dict(
+        precision="fast", mc_runs=2000, mc_threshold=5, mc_stream="window"
+    )
     s_x, p_x = run_css(pair, region, CssConfig(**cfg))
     s_n, p_n = run_css(
         pair, region, CssConfig(perm_backend="native", **cfg)
