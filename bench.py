@@ -33,6 +33,22 @@ import numpy as np
 PEAK_FLOPS = 197e12
 
 
+def _timed_runs(fn, n: int) -> list[float]:
+    """Wall-clock ``fn()`` ``n`` times (after the caller's warmup run).
+
+    The remote-compile tunnel produces binaries of varying quality (up to
+    5x run-to-run on identical HLO, BASELINE.md), so every headline
+    metric is reported as min AND median over n>=3 runs — single
+    best-of-N numbers cannot distinguish a 20% regression from noise
+    across rounds (VERDICT r3 weak #5)."""
+    times = []
+    for _ in range(n):
+        t0 = time.perf_counter()
+        fn()
+        times.append(time.perf_counter() - t0)
+    return times
+
+
 def make_chromosome(npos: int, region: int, asize: int, bsize: int, seed: int):
     rng = np.random.default_rng(seed)
     positions = np.sort(
@@ -223,14 +239,19 @@ def main() -> None:
         file=sys.stderr,
     )
 
-    # --- TPU engine: warmup (compile) + timed runs (best of 3: executed
-    # binary quality varies run to run on the remote-compile tunnel) ---
-    run_fet(pair, region, cfg)
-    tpu_s = float("inf")
-    for _ in range(3):
-        t0 = time.perf_counter()
+    # --- TPU engine: warmup (compile) + timed runs; min + median over
+    # N runs (binary quality varies run to run on the remote tunnel) ---
+    n_runs = int(os.environ.get("BENCH_RUNS", "2" if cpu_fallback else "4"))
+    scores = stddev = None
+
+    def _fet_once():
+        nonlocal scores, stddev
         scores, stddev = run_fet(pair, region, cfg)
-        tpu_s = min(tpu_s, time.perf_counter() - t0)
+
+    _fet_once()  # warmup/compile
+    fet_times = _timed_runs(_fet_once, n_runs)
+    tpu_s = min(fet_times)
+    fet_median_s = float(np.median(fet_times))
     tpu_rate = n_tests / tpu_s
 
     fet_flops = _fet_flops(
@@ -275,6 +296,10 @@ def main() -> None:
         "fet_windows_per_sec": round(n_windows / tpu_s, 1),
         "fet_flops_per_sec": round(fet_flops_per_s),
         "fet_mfu": round(fet_mfu, 6),
+        "bench_runs_n": n_runs,
+        "fet_tests_per_sec_median": round(n_tests / fet_median_s, 1),
+        "fet_wall_s_min": round(tpu_s, 3),
+        "fet_wall_s_median": round(fet_median_s, 3),
     }
     if ref_c:
         rate = ref_c.get("fet_thread", {}).get("snp_tests_per_s")
@@ -294,12 +319,16 @@ def main() -> None:
     cpair = SnpPair(positions=cpos, avals=camat, bvals=cbmat)
     css_cfg = CssConfig(precision="fast")
     run_css(cpair, css_region, css_cfg)
-    css_s = float("inf")
-    for _ in range(2):
+    cs = csum = None
+
+    def _css_once():
+        nonlocal cs, csum
         csum = RunSummary()
-        t0 = time.perf_counter()
-        cs, cp = run_css(cpair, css_region, css_cfg, summary=csum)
-        css_s = min(css_s, time.perf_counter() - t0)
+        cs, _ = run_css(cpair, css_region, css_cfg, summary=csum)
+
+    css_times = _timed_runs(_css_once, n_runs)
+    css_s = min(css_times)
+    css_median_s = float(np.median(css_times))
     ncw = int(np.count_nonzero(cs))
     mc = csum.counters.get("mc_permutations", 0)
 
@@ -329,6 +358,9 @@ def main() -> None:
             "css_windows_per_sec": round(ncw / css_s, 2),
             "css_flops_per_sec": round(css_flops_per_s),
             "css_mfu": round(css_mfu, 6),
+            "css_perms_per_sec_median": round(mc / css_median_s, 1),
+            "css_wall_s_min": round(css_s, 3),
+            "css_wall_s_median": round(css_median_s, 3),
         }
     )
 
@@ -340,10 +372,15 @@ def main() -> None:
     # small to expose
     if not cpu_fallback:
         run_css(pair, region, css_cfg)
-        gsum = RunSummary()
-        t0 = time.perf_counter()
-        gs, _ = run_css(pair, region, css_cfg, summary=gsum, seqid="chrG")
-        g_s = time.perf_counter() - t0
+        gs = gsum = None
+
+        def _chrom_once():
+            nonlocal gs, gsum
+            gsum = RunSummary()
+            gs, _ = run_css(pair, region, css_cfg, summary=gsum, seqid="chrG")
+
+        g_times = _timed_runs(_chrom_once, max(2, n_runs - 1))
+        g_s = min(g_times)
         g_nw = int(np.count_nonzero(gs))
         g_mc = gsum.counters.get("mc_permutations", 0)
         print(
@@ -353,13 +390,20 @@ def main() -> None:
         )
         extras["css_chrom_scale_windows_per_sec"] = round(g_nw / g_s, 1)
         extras["css_chrom_scale_wall_s"] = round(g_s, 2)
+        extras["css_chrom_scale_wall_s_median"] = round(
+            float(np.median(g_times)), 2
+        )
 
     # Pearson-III approx mode: the production estimator at scale
     approx_cfg = CssConfig(precision="fast", p_mode="approx")
     run_css(cpair, css_region, approx_cfg)
-    t0 = time.perf_counter()
-    ca, _ = run_css(cpair, css_region, approx_cfg)
-    approx_s = time.perf_counter() - t0
+    ca = None
+
+    def _approx_once():
+        nonlocal ca
+        ca, _ = run_css(cpair, css_region, approx_cfg)
+
+    approx_s = min(_timed_runs(_approx_once, max(2, n_runs - 1)))
     print(
         f"[bench] css approx: {approx_s:.2f}s "
         f"({int(np.count_nonzero(ca)) / approx_s:,.0f} win/s, "

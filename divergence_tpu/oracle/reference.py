@@ -137,13 +137,17 @@ def _shift_table(f: list[int]) -> list[int]:
 FET_TIE_RTOL = 1e-12
 
 
-def fet_two_tailed(f0: int, f1: int, f2: int, f3: int) -> float:
+def fet_two_tailed(
+    f0: int, f1: int, f2: int, f3: int, tie_rtol: float = FET_TIE_RTOL
+) -> float:
     """Two-tailed Fisher exact p via the Feldman-Klinger/Zar short cut
     (reference statistics/fisher/cFisher.c:405-455), including the P > 1 clamp.
 
     Second-tail probability ties are EXCLUDED like the reference's
     strict `P2 < P0` (see FET_TIE_RTOL above for the exactness argument
-    and the one residual interior-tie ambiguity)."""
+    and the one residual interior-tie ambiguity).  ``tie_rtol`` widens
+    the tie band — pass 1e-5 to reproduce the f32 fast path's dtype-
+    scaled tie rule (kernels/fet.py) for mismatch attribution."""
     R1, R2 = f0 + f1, f2 + f3
     C1, C2 = f0 + f2, f1 + f3
 
@@ -175,7 +179,7 @@ def fet_two_tailed(f0: int, f1: int, f2: int, f3: int) -> float:
         f = _shift_table(f)
         a, b, c, d = f
         p2 = fet_point_prob(a, b, c, d)
-        while p2 < p0 * (1.0 - FET_TIE_RTOL):
+        while p2 < p0 * (1.0 - tie_rtol):
             total += p2
             if b == 0 or c == 0:
                 break

@@ -481,9 +481,13 @@ def build_parser() -> argparse.ArgumentParser:
         "--p-mode",
         choices=["mc", "approx"],
         default="mc",
-        help="mc = reference-exact adaptive Monte-Carlo; approx = "
-        "Pearson-III moment fit from one permutation chunk (~200x less "
-        "compute, approximate extreme tail)",
+        help="mc = reference-exact adaptive Monte-Carlo (default; the "
+        "fused genome-wide MC matches approx-mode wall time at genome "
+        "scale).  approx = Pearson-III moment fit from a few "
+        "permutation chunks — caps worst-case all-divergent latency, "
+        "but is ANTI-conservative in the extreme tail: p can read up "
+        "to ~4x smaller than the exact MC for true p <= 1e-3 "
+        "(measured: baseline/exp_approx_tail.py; docs/PARITY.md)",
     )
     p.add_argument("--drosophila", action="store_true")
     p.add_argument(

@@ -30,7 +30,10 @@ The helpers here (:func:`write_gtrack`, :func:`run_ref`,
 :func:`ensure_binaries`, :func:`draw_trial`) are the single shared
 implementation — tests/test_ref_c_differential.py imports them.
 
-Run: ``python -m divergence_tpu.tools.fuzz_ref --trials 40 [--seed0 N]``
+Run: ``python -m divergence_tpu.tools.fuzz_ref --trials 40 [--seed0 N]
+[--sparse] [--fast]``.  ``--fast`` adds the f32 engine lane (VERDICT r3
+item 9): the round-3 fast-mode NaN was found by manual driving because
+this fuzzer only compared exact-mode columns.
 """
 
 from __future__ import annotations
@@ -207,7 +210,116 @@ def _window_mds_unstable(orc, amat, bmat, positions, start, wsize, mds,
     return False
 
 
-def fuzz(trials: int, seed0: int, sparse: bool = False) -> dict:
+def _fast_fet_check(tag, stats, orc, compute_fet, run_fet, FetConfig, w,
+                    pair, regend, eng_s, av, bv, apos, bpos, wsize, wstep):
+    """Fast-mode (f32) FET lane: NaN / zero-structure checks plus a
+    tolerance-banded score comparison against the exact engine.  Out-of-
+    band slots are attributed to the f32 tie rule (kernels/fet.py uses
+    tie_rtol=1e-5 in f32 vs 1e-12 in f64 — a table in the widened band
+    flips its second-tail inclusion) by re-scoring with the oracle under
+    the widened band and requiring the fast score to land in the bracket
+    [exact, tie-widened] (+f32 slack).  Anything else is a bug."""
+    fast_s, _ = run_fet(
+        pair, regend,
+        FetConfig(window=w, bootstrap_samples=2, precision="fast"),
+    )
+    if np.isnan(fast_s).any():
+        stats["bugs"].append(
+            f"{tag}: FET fast NaN slots "
+            f"{np.nonzero(np.isnan(fast_s))[0][:5].tolist()}"
+        )
+        return
+    zmis = np.nonzero(
+        ((eng_s == 0.0) != (fast_s == 0.0))
+        & (np.maximum(np.abs(eng_s), np.abs(fast_s)) > 1e-4)
+    )[0]
+    for i in zmis:
+        stats["bugs"].append(
+            f"{tag}: FET fast zero-structure slot {i} "
+            f"exact={eng_s[i]} fast={fast_s[i]}"
+        )
+    bad = np.nonzero(~np.isclose(fast_s, eng_s, rtol=1e-3, atol=1e-5))[0]
+    if not len(bad):
+        return
+    tie_s, _ = compute_fet(
+        av, bv, apos, bpos, regend, wsize, wstep,
+        two_tailed=lambda *f: orc.fet_two_tailed(*f, tie_rtol=1e-5),
+    )
+    for i in bad:
+        lo = min(eng_s[i], tie_s[i])
+        hi = max(eng_s[i], tie_s[i])
+        if lo - 1e-3 * abs(lo) - 1e-5 <= fast_s[i] <= hi + 1e-3 * abs(hi) + 1e-5:
+            stats["fet_fast_tie_windows"] += 1
+        else:
+            stats["bugs"].append(
+                f"{tag}: FET fast slot {i} exact={eng_s[i]} "
+                f"fast={fast_s[i]} tie_widened={tie_s[i]}"
+            )
+
+
+def _fast_css_check(tag, stats, orc, run_css, CssConfig, w, pair, regend,
+                    eng_c, amat, bmat, positions, wsize, wstep, mds, dros,
+                    asize, bsize):
+    """Fast-mode (f32) CSS lane: the round-3 fast-mode NaN (f32
+    eigenvalue dust on near-singular double-centered matrices,
+    kernels/css.py) was found by manual driving, not by this fuzzer —
+    this lane checks it mechanically.  NaN-structure mismatches and
+    out-of-band scores are attributed via the MDS-degeneracy probe at
+    f32 scale (rtol=1e-4: a 2nd eigenvalue or eigengap inside f32
+    eigensolve noise makes the retained subspace precision-dependent);
+    anything else is a bug."""
+    fast_c, _ = run_css(
+        pair, regend,
+        CssConfig(window=w, mc_threshold=1, mc_runs=2, mds=mds,
+                  drosophila=dros, precision="fast"),
+    )
+
+    def unstable(i):
+        return not dros and _window_mds_unstable(
+            orc, amat, bmat, positions, i * wstep, wsize, mds,
+            asize, bsize, rtol=1e-4,
+        )
+
+    nan_ex, nan_fa = np.isnan(eng_c), np.isnan(fast_c)
+    for i in np.nonzero(nan_ex != nan_fa)[0]:
+        if unstable(int(i)):
+            stats["css_fast_degenerate_windows"] += 1
+        else:
+            stats["bugs"].append(
+                f"{tag}: CSS fast NaN-structure mds={mds} slot {i} "
+                f"exact={eng_c[i]} fast={fast_c[i]}"
+            )
+    both = ~nan_ex & ~nan_fa
+    zmis = np.nonzero(
+        both & ((eng_c == 0.0) != (fast_c == 0.0))
+        & (np.maximum(np.abs(eng_c), np.abs(fast_c)) > 1e-4)
+    )[0]
+    for i in zmis:
+        stats["bugs"].append(
+            f"{tag}: CSS fast zero-structure slot {i} "
+            f"exact={eng_c[i]} fast={fast_c[i]}"
+        )
+    # band per MDS mode: mds=0 is a single eigensolve (f32 error ~1e-5);
+    # mds=2 refines through 300 SMACOF iterations whose f32 path drifts
+    # from the f64 path on the way to the eps-stop — 0.05-0.3% relative
+    # score differences are normal optimizer-path divergence, not bugs
+    # (measured over the first smoke campaign, seeds 9100-9107)
+    rtol = 1e-2 if mds == 2 else 1e-3
+    bad = np.nonzero(
+        both & ~np.isclose(fast_c, eng_c, rtol=rtol, atol=1e-6)
+    )[0]
+    for i in bad:
+        if unstable(int(i)):
+            stats["css_fast_degenerate_windows"] += 1
+        else:
+            stats["bugs"].append(
+                f"{tag}: CSS fast mds={mds} dros={dros} slot {i} "
+                f"exact={eng_c[i]} fast={fast_c[i]}"
+            )
+
+
+def fuzz(trials: int, seed0: int, sparse: bool = False,
+         fast: bool = False) -> dict:
     from divergence_tpu.config import CssConfig, FetConfig, WindowConfig
     from divergence_tpu.engine.css_engine import run_css
     from divergence_tpu.engine.fet_engine import run_fet
@@ -223,6 +335,9 @@ def fuzz(trials: int, seed0: int, sparse: bool = False) -> dict:
     tmp = pathlib.Path(tempfile.mkdtemp(prefix="fuzzref_"))
     stats = {"trials": 0, "fet_tie_windows": 0, "css_degenerate_windows": 0,
              "workdir": str(tmp), "bugs": []}
+    if fast:
+        stats["fet_fast_tie_windows"] = 0
+        stats["css_fast_degenerate_windows"] = 0
 
     for trial in range(trials):
         rng = np.random.default_rng(seed0 + trial)
@@ -256,6 +371,11 @@ def fuzz(trials: int, seed0: int, sparse: bool = False) -> dict:
             )
             if not np.allclose(orc_s, eng_s, rtol=1e-9, atol=1e-12):
                 stats["bugs"].append(f"{tag}: FET oracle != engine")
+            if fast:
+                _fast_fet_check(
+                    tag, stats, orc, compute_fet, run_fet, FetConfig, w,
+                    pair, regend, eng_s, av, bv, apos, bpos, wsize, wstep,
+                )
             bad = np.nonzero(
                 ~np.isclose(ref, orc_s, rtol=1e-9, atol=1e-12)
             )[0]
@@ -288,6 +408,12 @@ def fuzz(trials: int, seed0: int, sparse: bool = False) -> dict:
             CssConfig(window=w, mc_threshold=1, mc_runs=2, mds=mds,
                       drosophila=dros),
         )
+        if fast:
+            _fast_css_check(
+                tag, stats, orc, run_css, CssConfig, w, pair, regend,
+                eng_c, amat, bmat, positions, wsize, wstep, mds, dros,
+                asize, bsize,
+            )
         # equal_nan: a genuinely negative 2nd eigenvalue NaNs the window
         # on BOTH sides (reference sqrt and ours) — that is agreement.
         # Classify each mismatching SLOT once (the probe is expensive
@@ -336,8 +462,14 @@ def main(argv=None) -> int:
     ap.add_argument("--seed0", type=int, default=5000)
     ap.add_argument("--sparse", action="store_true",
                     help="widen the step draw to wstep <= 3*wsize")
+    ap.add_argument("--fast", action="store_true",
+                    help="add the precision='fast' (f32) engine lane: "
+                    "NaN/zero-structure checks + tolerance-banded "
+                    "comparison vs the exact engine, mismatches "
+                    "attributed to the f32 tie band / MDS degeneracy")
     args = ap.parse_args(argv)
-    stats = fuzz(args.trials, args.seed0, sparse=args.sparse)
+    stats = fuzz(args.trials, args.seed0, sparse=args.sparse,
+                 fast=args.fast)
     print(json.dumps(stats, indent=2))
     return 1 if stats["bugs"] else 0
 
