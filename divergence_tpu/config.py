@@ -149,14 +149,14 @@ class CssConfig:
     # in the extreme tail (kernels/perm.py:approx_significance).
     p_mode: str = "mc"
 
-    # MC chunk evaluator: "xla" = one-hot matmul with (chrom, slot)-pinned
-    # threefry streams (batch/shard/partition-invariant p-values);
-    # "pallas" = fused on-core-PRNG kernel
-    # (kernels/pallas/perm_pallas.py) — benchmark alternative, streams
-    # keyed per batch+chunk (p_mode="mc" only); "native" = threaded C++
-    # host evaluator with per-window early exit (native/mc_native.cpp) —
-    # replays the same stream, the CPU-host answer to the reference's
-    # pthread pool (falls back to "xla" without a toolchain).
+    # MC chunk evaluator: "xla" = the device evaluator (shared-stream
+    # MXU matmul or per-window rank-fused pass, see mc_stream);
+    # "native" = threaded C++ host evaluator with per-window early exit
+    # (native/mc_native.cpp) — replays the same stream, the CPU-host
+    # answer to the reference's pthread pool (falls back to "xla"
+    # without a toolchain).  (A "pallas" chunk kernel existed through
+    # round 3; deleted in round 4 — its edge was inside compile
+    # variance and the shared-stream path is ~3x faster.  docs/ROUND4.md.)
     perm_backend: str = "xla"
 
     # Permutation draw stream for the xla backend: "mix" = threefry-keyed
@@ -184,7 +184,7 @@ class CssConfig:
     # perms/s vs 260M per-window at production shape, round 4) and makes
     # p-values invariant under batching/sharding/resume by construction.
     # "window" = per-window (seed, chrom, slot, chunk)-pinned streams
-    # (the round-3 design; required by perm_backend="native"/"pallas",
+    # (the round-3 design; required by perm_backend="native",
     # independent MC noise across windows).
     mc_stream: str = "shared"
 
@@ -199,10 +199,8 @@ class CssConfig:
             raise ValueError("precision must be 'exact' or 'fast'")
         if self.p_mode not in ("mc", "approx"):
             raise ValueError("p_mode must be 'mc' or 'approx'")
-        if self.perm_backend not in ("xla", "pallas", "native"):
-            raise ValueError(
-                "perm_backend must be 'xla', 'pallas', or 'native'"
-            )
+        if self.perm_backend not in ("xla", "native"):
+            raise ValueError("perm_backend must be 'xla' or 'native'")
         if self.perm_backend == "native" and self.rng != "mix":
             raise ValueError(
                 "perm_backend='native' replays the 'mix' stream only"
@@ -213,9 +211,8 @@ class CssConfig:
             raise ValueError("perm_form must be 'broadcast' or 'matmul'")
         if self.mc_stream not in ("shared", "window"):
             raise ValueError("mc_stream must be 'shared' or 'window'")
-        if self.perm_backend in ("native", "pallas") \
-                and self.mc_stream == "shared":
-            # the native/pallas evaluators replay per-window streams
+        if self.perm_backend == "native" and self.mc_stream == "shared":
+            # the native evaluator replays per-window streams
             object.__setattr__(self, "mc_stream", "window")
 
 

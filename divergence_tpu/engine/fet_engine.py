@@ -196,10 +196,11 @@ def run_fet_multi(
 
     results = {}
     off = 0
-    for seqid, nslots, pending in per_chrom:
-        scores = np.zeros(nslots, dtype=np.float64)
-        stddev = np.zeros(nslots, dtype=np.float64)
-        if pending:
-            off = _scatter(pending, fetched, off, scores, stddev)
-        results[seqid] = (scores, stddev)
+    with summary.stage("fet_scatter"):
+        for seqid, nslots, pending in per_chrom:
+            scores = np.zeros(nslots, dtype=np.float64)
+            stddev = np.zeros(nslots, dtype=np.float64)
+            if pending:
+                off = _scatter(pending, fetched, off, scores, stddev)
+            results[seqid] = (scores, stddev)
     return results

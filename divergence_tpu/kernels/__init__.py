@@ -1,4 +1,4 @@
-"""Batched TPU compute kernels (JAX/XLA; Pallas variants in ``pallas/``).
+"""Batched TPU compute kernels (JAX/XLA).
 
 Submodules are imported lazily by the engines to keep import costs low:
 

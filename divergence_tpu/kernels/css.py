@@ -171,8 +171,8 @@ def chain_weights_host(asize: int, bsize: int):
     """Static [m-1] weights of the within-group adjacent-chain terms in
     track order (reference statistics/css/css.c:627-642): 1/(a^2(a-1)) for the a-chain,
     1/(b^2(b-1)) for the b-chain, 0 at the group boundary and for
-    singleton groups.  Host-side numpy — the single source of truth,
-    also consumed as a kernel constant by kernels.pallas."""
+    singleton groups.  Host-side numpy — the single source of truth
+    for every evaluator (XLA and native)."""
     import numpy as np
 
     m = asize + bsize

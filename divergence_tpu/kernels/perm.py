@@ -312,7 +312,6 @@ def mc_significance(
     max_chunks: int | None = None,
     state: tuple | None = None,
     backend: str = "xla",
-    seed0: jnp.ndarray | None = None,
     bitgen: str = "mix",
     form: str = "broadcast",
     stream: str = "window",
@@ -332,13 +331,12 @@ def mc_significance(
     compaction in :func:`significance` that stops a batch's finished
     windows from riding along with its slowest one.
 
-    ``backend="pallas"`` evaluates each chunk with the fused Pallas
-    kernel (on-core PRNG + odd-even sort network,
-    kernels/pallas/perm_pallas.py) seeded ``seed0 + chunk_index``.  The
-    estimator and adaptivity are identical; the permutation stream is
-    the TPU on-core PRNG keyed per (batch, chunk) instead of the
-    (chrom, slot)-pinned threefry — batch-composition invariance holds
-    only for the default "xla" backend (docs/PARITY.md)."""
+    (A fused Pallas chunk evaluator existed through round 3 as
+    ``backend="pallas"``; it was deleted in round 4 after the
+    production-shape A/B — its 2-10% edge over the per-window XLA
+    evaluator was inside compile variance, the round-4 shared-stream
+    MXU path is ~3x both, and the round-4 toolchain no longer compiles
+    it at all.  Decision record: docs/ROUND4.md.)"""
     B = dist.shape[0]
     distf = dist.astype(jnp.float32)
     scoresf = scores.astype(jnp.float32)
@@ -351,15 +349,7 @@ def mc_significance(
 
     def body(carry):
         k, hits, nsc, done = carry
-        if backend == "pallas":
-            from divergence_tpu.kernels.pallas.perm_pallas import (
-                perm_scores_pallas,
-            )
-
-            new_scores = perm_scores_pallas(
-                distf, seed0 + k, asize, bsize, chunk
-            )
-        elif stream == "shared":
+        if stream == "shared":
             new_scores = _shared_perm_scores(
                 distf, keys, k, asize, bsize, chunk, bitgen=bitgen
             )
@@ -916,17 +906,14 @@ def significance(
     * ``"window"`` — per-window streams pinned to ``chroms``/``slots``
       (the round-3 design; required by ``backend="native"``).
 
-    ``backend="pallas"`` selects the fused on-core-PRNG chunk
-    kernel (single-pass, streams keyed per batch+chunk — see
-    :func:`mc_significance`)."""
+    ``backend="native"`` routes to the threaded C++ host evaluator
+    (below)."""
     B = len(scores)
-    if stream == "shared" and backend in ("native", "pallas"):
+    if stream == "shared" and backend == "native":
         raise ValueError(
             f"backend={backend!r} replays per-window streams; "
             "use stream='window'"
         )
-    if backend == "pallas" and chunk % 128 != 0:
-        chunk = ((chunk + 127) // 128) * 128  # Pallas lane constraint
     pvals = np.zeros(B, dtype=np.float64)
     nsc = np.zeros(B, dtype=np.int64)
     hits = np.zeros(B, dtype=np.int64)
@@ -1027,108 +1014,74 @@ def significance(
         return fetched[3]
 
     compact = stage1 if stage1 < n_chunks_total else None
-    if backend == "pallas":
-        # per-batch host loop (the pallas streams are batch+chunk-keyed,
-        # single-pass — see mc_significance); every batch dispatched
-        # before ONE packed fetch
-        stage1_outs = []
-        for bi, sel, sel_p in _batch_iter(B, window_batch, n_shards):
-            dist_b = _put(dist[sel_p], sharding)
-            scores_b = _put(scores[sel_p], sharding)
-            keys_b = _window_streams(
-                key, len(sel_p), chroms[sel_p], slots[sel_p], sharding
-            )
-            seed0 = jax.random.randint(
-                jax.random.fold_in(key, 555 + bi), (), 0, 2**31 - 200_000
-            ).astype(jnp.int32)
-            out = mc_significance(
-                dist_b, scores_b, keys_b, asize, bsize, chunk, runs,
-                threshold, max_chunks=None, backend=backend, seed0=seed0,
-                bitgen=bitgen, form=form,
-            )
-            stage1_outs.append((sel, out))
-        fetched = _fetch_all(stage1_outs)
-        fin = _scatter(stage1_outs, fetched)
-        unfin = []
-        off = 0
-        for sel, (pv_d, *_rest) in stage1_outs:
-            unfin.append(sel[~fin[off : off + len(sel)]])
-            off += pv_d.shape[0]
-        g = np.concatenate(unfin) if unfin else np.zeros(0, np.int64)
+    # stage 1 = ONE device program over uniform batch slices
+    # (_mc_stage1_all) and ONE fetch.  Pad rows carry score -inf
+    # (every permutation hits, so they finish at the first chunk) and
+    # repeat window 0's distances; their results are dropped.
+    Bp = 8
+    while Bp < min(B, window_batch):
+        Bp *= 2
+    while Bp % n_shards:
+        Bp += n_shards - Bp % n_shards
+    Bt = -(-B // Bp) * Bp
+    pad = Bt - B
+    dist_j = dist if isinstance(dist, jax.Array) else jnp.asarray(dist)
+    if pad:
+        reps = -(-pad // B)
+        pad_rows = jnp.tile(dist_j[:1], (pad, 1, 1)) if reps > 1 \
+            else dist_j[:pad]
+        dist_p = jnp.concatenate([dist_j, pad_rows])
+        scores_p = np.concatenate([scores, np.full(pad, -np.inf)])
+        chroms_p = np.concatenate([chroms, np.zeros(pad, np.int64)])
+        slots_p = np.concatenate([slots, np.zeros(pad, np.int64)])
     else:
-        # stage 1 = ONE device program over uniform batch slices
-        # (_mc_stage1_all) and ONE fetch.  Pad rows carry score -inf
-        # (every permutation hits, so they finish at the first chunk) and
-        # repeat window 0's distances; their results are dropped.
-        Bp = 8
-        while Bp < min(B, window_batch):
-            Bp *= 2
-        while Bp % n_shards:
-            Bp += n_shards - Bp % n_shards
-        Bt = -(-B // Bp) * Bp
-        pad = Bt - B
-        dist_j = dist if isinstance(dist, jax.Array) else jnp.asarray(dist)
-        if pad:
-            reps = -(-pad // B)
-            pad_rows = jnp.tile(dist_j[:1], (pad, 1, 1)) if reps > 1 \
-                else dist_j[:pad]
-            dist_p = jnp.concatenate([dist_j, pad_rows])
-            scores_p = np.concatenate([scores, np.full(pad, -np.inf)])
-            chroms_p = np.concatenate([chroms, np.zeros(pad, np.int64)])
-            slots_p = np.concatenate([slots, np.zeros(pad, np.int64)])
-        else:
-            dist_p, scores_p, chroms_p, slots_p = dist_j, scores, chroms, slots
-        dist_d = _put(dist_p, sharding)
-        scores_d = _put(np.asarray(scores_p, dtype=np.float64), sharding)
-        chroms_d = _put(np.asarray(chroms_p, dtype=np.int64), sharding)
-        slots_d = _put(np.asarray(slots_p, dtype=np.int64), sharding)
-        out = _mc_stage1_all(
+        dist_p, scores_p, chroms_p, slots_p = dist_j, scores, chroms, slots
+    dist_d = _put(dist_p, sharding)
+    scores_d = _put(np.asarray(scores_p, dtype=np.float64), sharding)
+    chroms_d = _put(np.asarray(chroms_p, dtype=np.int64), sharding)
+    slots_d = _put(np.asarray(slots_p, dtype=np.int64), sharding)
+    out = _mc_stage1_all(
+        dist_d, scores_d, chroms_d, slots_d,
+        key,
+        Bp=Bp, asize=asize, bsize=bsize, chunk=chunk, runs=runs,
+        threshold=threshold, max_chunks=compact, bitgen=bitgen,
+        form=form, stream=stream,
+    )
+    jax.block_until_ready(out)
+    fetched = jax.device_get(out)
+    pvals[:] = fetched[0, :B]
+    nsc[:] = fetched[1, :B].astype(np.int64)
+    hits[:] = fetched[2, :B].astype(np.int64)
+    g = np.nonzero(fetched[3, :B] == 0.0)[0]
+
+    if len(g):
+        # stage 2 as one program, gathering from the stage-1 arrays
+        Bp2 = 8
+        while Bp2 < min(len(g), window_batch):
+            Bp2 *= 2
+        while Bp2 % n_shards:
+            Bp2 += n_shards - Bp2 % n_shards
+        Bg = -(-len(g) // Bp2) * Bp2
+        idx = np.full(Bg, g[0], dtype=np.int32)
+        idx[: len(g)] = g
+        hn = np.zeros((2, Bg), dtype=np.int32)
+        hn[0, : len(g)] = hits[g]
+        hn[1, : len(g)] = nsc[g]
+        hn_sh = sharding
+        if sharding is not None:
+            from divergence_tpu.core.batching import _row_sharding
+
+            hn_sh = _row_sharding(sharding)
+        out2 = _mc_stage2_all(
             dist_d, scores_d, chroms_d, slots_d,
-            key,
-            Bp=Bp, asize=asize, bsize=bsize, chunk=chunk, runs=runs,
-            threshold=threshold, max_chunks=compact, bitgen=bitgen,
-            form=form, stream=stream,
+            _put(idx, sharding), _put(hn, hn_sh), key,
+            Bp=Bp2, asize=asize, bsize=bsize, chunk=chunk,
+            runs=runs, threshold=threshold, k0=stage1,
+            bitgen=bitgen, form=form, stream=stream,
         )
-        jax.block_until_ready(out)
-        fetched = jax.device_get(out)
-        pvals[:] = fetched[0, :B]
-        nsc[:] = fetched[1, :B].astype(np.int64)
-        hits[:] = fetched[2, :B].astype(np.int64)
-        g = np.nonzero(fetched[3, :B] == 0.0)[0]
-
-        if len(g):
-            # stage 2 as one program, gathering from the stage-1 arrays
-            Bp2 = 8
-            while Bp2 < min(len(g), window_batch):
-                Bp2 *= 2
-            while Bp2 % n_shards:
-                Bp2 += n_shards - Bp2 % n_shards
-            Bg = -(-len(g) // Bp2) * Bp2
-            idx = np.full(Bg, g[0], dtype=np.int32)
-            idx[: len(g)] = g
-            hn = np.zeros((2, Bg), dtype=np.int32)
-            hn[0, : len(g)] = hits[g]
-            hn[1, : len(g)] = nsc[g]
-            hn_sh = sharding
-            if sharding is not None:
-                from divergence_tpu.core.batching import _row_sharding
-
-                hn_sh = _row_sharding(sharding)
-            out2 = _mc_stage2_all(
-                dist_d, scores_d, chroms_d, slots_d,
-                _put(idx, sharding), _put(hn, hn_sh), key,
-                Bp=Bp2, asize=asize, bsize=bsize, chunk=chunk,
-                runs=runs, threshold=threshold, k0=stage1,
-                bitgen=bitgen, form=form, stream=stream,
-            )
-            jax.block_until_ready(out2)
-            f2 = jax.device_get(out2)
-            pvals[g] = f2[0, : len(g)]
-            nsc[g] = f2[1, : len(g)].astype(np.int64)
-            hits[g] = f2[2, : len(g)].astype(np.int64)
-        return McResult(pvals=pvals, nscores=nsc, hits=hits)
-
-    # pallas stage 1 is a full single pass (max_chunks=None), so every
-    # window is finished and no stage 2 exists
-    assert len(g) == 0, "pallas stage 1 must finish every window"
+        jax.block_until_ready(out2)
+        f2 = jax.device_get(out2)
+        pvals[g] = f2[0, : len(g)]
+        nsc[g] = f2[1, : len(g)].astype(np.int64)
+        hits[g] = f2[2, : len(g)].astype(np.int64)
     return McResult(pvals=pvals, nscores=nsc, hits=hits)

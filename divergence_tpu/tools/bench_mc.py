@@ -1,4 +1,4 @@
-"""Permutation-MC evaluator micro-benchmark: XLA variants vs Pallas.
+"""Permutation-MC evaluator micro-benchmark (evaluator A/B).
 
 Measures permutations/second of the chunk evaluators on the current
 backend, on the production shape (stickleback panel, m=21).  This is
@@ -21,10 +21,13 @@ Two protocols:
 Variants: ``xla`` (mix bitgen, broadcast form — the production
 default), ``xla_threefry`` (round-1 stream), ``xla_matmul``
 (between-sum as a batched matmul via the +-1 identity), ``xla_mlast``
-(chunk axis second), ``pallas`` (fused on-core-PRNG kernel),
-``native`` (threaded C++ host evaluator, same stream — the CPU-host
-row), and ``inloop``, ``inloop_threefry``, ``inloop_matmul``,
-``inloop_pallas``.
+(chunk axis second), ``native`` (threaded C++ host evaluator, same
+stream — the CPU-host row), and ``inloop``, ``inloop_threefry``,
+``inloop_matmul``, ``inloop_shared`` (the shared-stream MXU production
+default).  (The Pallas chunk kernel was A/B'd here through round 3 and
+deleted in round 4 — inside compile variance, then ~3x behind the
+shared stream, and the round-4 toolchain no longer compiled it;
+docs/ROUND4.md.)
 
 Timing protocol for the remote-tunnel TPU (see CLAUDE.md): work is
 only forced by a device_get, so each measurement fetches a reduced
@@ -45,7 +48,7 @@ def run_mc_bench(
     iters: int = 4,
     asize: int = 11,
     bsize: int = 10,
-    backends: tuple[str, ...] = ("xla", "pallas"),
+    backends: tuple[str, ...] = ("inloop", "inloop_shared"),
 ) -> dict:
     import jax
     import jax.numpy as jnp
@@ -65,9 +68,6 @@ def run_mc_bench(
         jnp.arange(window_batch, dtype=jnp.int64),
     )
 
-    # pallas requires lane-multiple chunks
-    pallas_chunk = ((chunk + 127) // 128) * 128
-
     def make_xla(bitgen, form):
         @jax.jit
         def f(k):
@@ -86,31 +86,19 @@ def run_mc_bench(
         )
         return jnp.sum(s)
 
-    def make_pallas():
-        from divergence_tpu.kernels.pallas.perm_pallas import (
-            perm_scores_pallas,
-        )
-
-        @jax.jit
-        def pallas_chunk_fn(seed):
-            s = perm_scores_pallas(distf, seed, asize, bsize, pallas_chunk)
-            return jnp.sum(s)
-
-        return pallas_chunk_fn
-
-    def run_inloop(bitgen, form, backend):
+    def run_inloop(bitgen, form, backend, stream="window"):
         """Time mc_significance with unreachable scores: every window
         runs its full permutation budget — steady-state in-loop rate."""
-        nperm = pallas_chunk if backend == "pallas" else chunk
+        nperm = chunk
         runs = nperm * iters
         scores = jnp.full(window_batch, 1e30, dtype=jnp.float64)
-        seed0 = jnp.int32(1) if backend == "pallas" else None
+        ks = jax.random.PRNGKey(1) if stream == "shared" else keys
 
         def go():
             out = kperm.mc_significance(
-                distf, scores, keys, asize, bsize, nperm, runs,
-                10, backend=backend, seed0=seed0, bitgen=bitgen,
-                form=form,
+                distf, scores, ks, asize, bsize, nperm, runs,
+                10, backend=backend, bitgen=bitgen,
+                form=form, stream=stream,
             )
             return jax.device_get(out[0])
 
@@ -163,13 +151,16 @@ def run_mc_bench(
                 continue
             if name.startswith("inloop"):
                 variant = name[len("inloop"):].lstrip("_") or "xla"
-                bitgen, form, backend = {
-                    "xla": ("mix", "broadcast", "xla"),
-                    "threefry": ("threefry", "broadcast", "xla"),
-                    "matmul": ("mix", "matmul", "xla"),
-                    "pallas": ("mix", "broadcast", "pallas"),
+                bitgen, form, backend, stream = {
+                    "xla": ("mix", "broadcast", "xla", "window"),
+                    "threefry": ("threefry", "broadcast", "xla", "window"),
+                    "matmul": ("mix", "matmul", "xla", "window"),
+                    # the production default since round 4: one genome-
+                    # wide label permutation per draw, evaluated as an
+                    # MXU matmul (kernels/perm.py:_shared_perm_scores)
+                    "shared": ("mix", "broadcast", "xla", "shared"),
                 }[variant]
-                results[name] = run_inloop(bitgen, form, backend)
+                results[name] = run_inloop(bitgen, form, backend, stream)
                 continue
             if name == "xla":
                 fn, arg0, nperm = make_xla("mix", "broadcast"), jnp.int32(0), chunk
@@ -180,7 +171,7 @@ def run_mc_bench(
             elif name == "xla_mlast":
                 fn, arg0, nperm = xla_mlast_chunk, jnp.int32(0), chunk
             else:
-                fn, arg0, nperm = make_pallas(), jnp.int32(1), pallas_chunk
+                raise ValueError(f"unknown backend {name!r}")
             jax.device_get(fn(arg0))                  # compile + warm
             t0 = time.perf_counter()
             acc = 0.0
@@ -194,7 +185,7 @@ def run_mc_bench(
                 "perms_per_s": round(perms / dt),
                 "checksum": round(acc, 2),
             }
-        except Exception as e:  # pallas may not compile off-TPU
+        except Exception as e:  # e.g. native toolchain absent
             results[name] = {"error": f"{type(e).__name__}: {e}"[:300]}
     return results
 
@@ -216,5 +207,5 @@ if __name__ == "__main__":
     ap.add_argument("--window-batch", type=int, default=1024)
     ap.add_argument("--chunk", type=int, default=256)
     ap.add_argument("--iters", type=int, default=4)
-    ap.add_argument("--backends", default="xla,pallas")
+    ap.add_argument("--backends", default="inloop,inloop_shared")
     main(ap.parse_args())

@@ -132,6 +132,16 @@ def _run_engine(args, engine, cfg, columns, engine_multi=None) -> None:
     t0 = time.perf_counter()
     total_windows = 0
 
+    # Backend handshake attributed to its own stage: on the remote
+    # tunnel the first device interaction of a process pays seconds of
+    # connection/init cost that otherwise lands inside the engine's
+    # "genome" stage and reads as engine work (round-4 stage audits).
+    with summary.stage("backend_init"):
+        import jax
+        import jax.numpy as jnp
+
+        jax.device_get(jnp.zeros(1))
+
     # Resume: load chromosomes whose part files already exist and drop
     # them from the work list — the REMAINDER still runs through the
     # fused genome-wide path below (a resumed run keeps the fresh run's
@@ -492,7 +502,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--drosophila", action="store_true")
     p.add_argument(
         "--perm-backend",
-        choices=["xla", "pallas", "native"],
+        choices=["xla", "native"],
         default="xla",
         help="MC chunk evaluator: xla (stream-pinned threefry), the "
         "fused Pallas on-core-PRNG kernel, or the threaded C++ host "
@@ -521,7 +531,7 @@ def build_parser() -> argparse.ArgumentParser:
         "permutation per draw, shared by all windows (Westfall-Young "
         "setup; ~250x faster on the MXU, batch/shard/resume-invariant "
         "by construction); window = independent per-window streams "
-        "(round-3 design, required by --perm-backend native/pallas)",
+        "(round-3 design, required by --perm-backend native)",
     )
     p.set_defaults(fn=cmd_run_css)
 
@@ -549,12 +559,12 @@ def build_parser() -> argparse.ArgumentParser:
 
     p = sub.add_parser(
         "bench-mc",
-        help="permutation-MC chunk throughput: xla vs pallas evaluators",
+        help="permutation-MC chunk throughput: evaluator A/B (in-loop window-stream vs shared-stream, native host row)",
     )
     p.add_argument("--window-batch", type=int, default=1024)
     p.add_argument("--chunk", type=int, default=256)
     p.add_argument("--iters", type=int, default=4)
-    p.add_argument("--backends", default="xla,pallas")
+    p.add_argument("--backends", default="inloop,inloop_shared")
     p.set_defaults(fn=_cmd_bench_mc)
 
     p = sub.add_parser(
