@@ -352,6 +352,11 @@ def main() -> None:
         file=sys.stderr,
     )
 
+    # Since the round-4 shared-stream MC, the worst-case workload's wall
+    # is dominated by phase 1 (eigensolves) + fixed tunnel costs, so the
+    # e2e css_perms_per_sec no longer measures the MC.  Report the MC
+    # phase's own rate (stage timer) alongside.
+    mc_stage_s = csum.timings_s.get("css_mc", 0.0)
     extras.update(
         {
             "css_perms_per_sec": round(mc / css_s, 1),
@@ -361,8 +366,32 @@ def main() -> None:
             "css_perms_per_sec_median": round(mc / css_median_s, 1),
             "css_wall_s_min": round(css_s, 3),
             "css_wall_s_median": round(css_median_s, 3),
+            "css_mc_stage_s": round(mc_stage_s, 3),
+            "css_mc_perms_per_sec": round(mc / mc_stage_s, 1)
+            if mc_stage_s
+            else None,
         }
     )
+
+    # Sustained MC throughput at production shape (VERDICT r3 #1): the
+    # in-loop shared-stream evaluator over 8192 windows x 256-perm
+    # chunks with unreachable scores (every window consumes its full
+    # budget) — the steady-state rate of SURVEY §3.2 hot loop B.
+    if not cpu_fallback:
+        from divergence_tpu.tools.bench_mc import run_mc_bench
+
+        mcb = run_mc_bench(
+            window_batch=8192, chunk=256, iters=256,
+            backends=("inloop_shared",),
+        )
+        rate = mcb.get("inloop_shared", {}).get("perms_per_s")
+        if rate:
+            extras["css_mc_inloop_perms_per_sec"] = rate
+            print(
+                f"[bench] css MC in-loop (8192x256x256, shared stream): "
+                f"{rate / 1e9:.2f}G perms/s",
+                file=sys.stderr,
+            )
 
     # chromosome-scale CSS scan (the FET bench chromosome: ~20k windows,
     # mixed significance like production data): measures the DISPATCH
