@@ -105,21 +105,154 @@ def jacobi_eigh(
     return w, V
 
 
+@functools.partial(jax.jit, static_argnames=("sweeps",))
+def jacobi_eigh_lanes(
+    a: jnp.ndarray, sweeps: int = 10
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """:func:`jacobi_eigh` in a lane-major layout: same rotation
+    schedule, same inner-rotation angle formulas, the batch stored on
+    the MINOR axis ([m, m, B] internally).
+
+    Why: for m ~ 21 the matmul/einsum form pads both matrix axes to the
+    TPU's 128-lane tiles (~36x wasted bandwidth on every rotation) —
+    measured 3.96s for 100k batched 21x21 f32 solves, identical to
+    XLA's ``eigh`` (same wall; both are layout-bound, not FLOP-bound).
+    With B riding the lanes, one round-robin round becomes FULL-ARRAY
+    elementwise updates plus one static partner permutation per axis —
+    no scatters, no per-pair gathers (an earlier indexed-update form
+    was TPU-scatter-bound at 6.9s):
+
+      ``A <- cv*A + sv*A[perm]``  (rows), then columns, then ``V``,
+
+    where ``perm[i]`` is i's rotation partner this round and
+    ``(cv, sv)[i]`` are the rotation coefficients seen from i's row —
+    ``sv`` carries the sign asymmetry of the pair (Rt on the left vs R
+    on the right).  Rounds scan over the stacked schedules (the round
+    body is traced ONCE — a Python-unrolled variant traced 21 round
+    bodies per sweep and cost ~10s of host tracing per process, which
+    outweighed its slightly cheaper static gathers for one-shot CLI
+    runs); sweeps scan outside with one re-symmetrization each.
+
+    ``a``: [B, m, m] symmetric.  Returns (eigenvalues [B, m] unsorted,
+    eigenvectors [B, m, m], columns)."""
+    assert a.ndim == 3, "jacobi_eigh_lanes expects one batch axis"
+    m = a.shape[-1]
+    mp = m + (m % 2)
+    A = jnp.moveaxis(a, 0, -1)                       # [m, m, B]
+    if mp != m:
+        # decoupled padding eigenpair; zero coupling keeps it inert
+        A = jnp.pad(A, ((0, 1), (0, 1), (0, 0)))
+
+    schedule = _round_robin_schedule(mp)             # numpy: static indices
+    perms, roles = [], []
+    for pairs in schedule:
+        perm = np.empty(mp, dtype=np.int64)
+        role = np.empty(mp, dtype=np.float64)
+        for p, q in pairs:
+            perm[p], perm[q] = q, p
+            role[p], role[q] = 1.0, -1.0             # p-side / q-side
+        perms.append(perm)
+        roles.append(role)
+    eye = jnp.eye(mp, dtype=a.dtype)
+    V0 = jnp.zeros_like(A) + eye[..., None]
+    idx = np.arange(mp)
+    perm_stack = jnp.asarray(np.stack(perms).astype(np.int32))  # [R, mp]
+    role_stack = jnp.asarray(np.stack(roles), dtype=a.dtype)    # [R, mp]
+
+    def one_round(carry, xs):
+        A, V = carry
+        perm, role = xs                              # traced [mp]
+        diag = A[idx, idx, :]                        # [mp, B]
+        apq = A[idx, perm, :]                        # [mp, B] (symmetric)
+        # identical angle math to jacobi_eigh, computed from each
+        # index's own perspective...
+        safe = jnp.abs(apq) > 0.0
+        d = 0.5 * (jnp.take(diag, perm, axis=0) - diag)
+        hyp = jnp.sqrt(d * d + apq * apq)
+        t = jnp.sign(d) * apq / jnp.where(safe, jnp.abs(d) + hyp, 1.0)
+        t = jnp.where(d == 0.0, jnp.where(safe, 1.0, 0.0), t)
+        # ...then DISTRIBUTED from the pair's p-side so both members
+        # share bit-identical (c, s).  Relying on d_q == -d_p (and
+        # |apq_q| == |apq_p|) being bit-exact is NOT safe under jit:
+        # XLA can rematerialize the fused A entries differently per
+        # consumer, letting one side of a pair hit the d == 0.0 tie
+        # branch while the other takes the sign(d) formula — a
+        # grossly non-orthogonal "rotation" that corrupted V on
+        # degenerate inputs (caught by
+        # test_jacobi_lanes_tie_and_degenerate: jit vs no-jit of the
+        # SAME code differed).  The structural gather makes pair
+        # consistency independent of value reproducibility.
+        role_j = role[:, None]
+        tp = jnp.where(role_j > 0, t, jnp.take(t, perm, axis=0))
+        safep = jnp.where(role_j > 0, safe, jnp.take(safe, perm, axis=0))
+        c = 1.0 / jnp.sqrt(1.0 + tp * tp)
+        s = tp * c
+        c = jnp.where(safep, c, 1.0)
+        s = jnp.where(safep, s, 0.0)
+        # row p needs (c, -s); row q needs (c, +s)
+        sv = -role_j * s
+
+        # fused two-sided update — one pass over A with four gathered
+        # reads instead of two dependent row/col passes (HBM traffic is
+        # the whole cost at this shape)
+        A = (
+            (c[:, None, :] * c[None, :, :]) * A
+            + (c[:, None, :] * sv[None, :, :]) * jnp.take(A, perm, axis=1)
+            + (sv[:, None, :] * c[None, :, :]) * jnp.take(A, perm, axis=0)
+            + (sv[:, None, :] * sv[None, :, :]) * A[perm[:, None], perm[None, :], :]
+        )
+        V = c[None, :, :] * V + sv[None, :, :] * jnp.take(V, perm, axis=1)
+        return (A, V), None
+
+    def one_sweep(carry, _):
+        carry, _ = jax.lax.scan(one_round, carry, (perm_stack, role_stack))
+        A, V = carry
+        # re-symmetrize once per sweep to kill rounding drift (the
+        # two-sided update is symmetric in exact arithmetic; per-round
+        # resymmetrization only added HBM passes)
+        A = 0.5 * (A + jnp.swapaxes(A, 0, 1))
+        return (A, V), None
+
+    (A, V), _ = jax.lax.scan(one_sweep, (A, V0), None, length=sweeps)
+    w = jnp.moveaxis(A[idx, idx, :], -1, 0)          # [B, mp]
+    V = jnp.moveaxis(V, -1, 0)                       # [B, mp, mp]
+    if mp != m:
+        w = w[:, :m]
+        V = V[:, :m, :m]
+    return w, V
+
+
 def top2_eig(a: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Top-2 eigenpairs (descending) of a batch of symmetric matrices.
 
     Returns (vals [..., 2], vecs [..., m, 2]).  Matches the reference's
     'keep the dims largest eigenvalues' (reference statistics/css/css.c:543-553).
 
-    Uses XLA's batched ``eigh`` — measured ~70x faster than the scatter-
-    based round-robin Jacobi in :func:`jacobi_eigh` for thousands of
-    m~21 problems on TPU — EXCEPT for float64 on the TPU backend, where
-    XLA's eigh runs its iteration at ~f32 accuracy (~2e-6 eigenvalue
-    error measured) and intermittently returns NaN eigenpairs for
-    well-conditioned inputs (emulated-f64 inf/NaN semantics inside the
-    solver).  There the batched Jacobi — pure arithmetic, NaN-free by
-    construction — provides the full emulated-f64 accuracy that
-    ``precision="exact"`` promises."""
+    Backend routing:
+
+    * **TPU (any dtype)**: the lane-major batched Jacobi
+      (:func:`jacobi_eigh_lanes`).  XLA's batched ``eigh`` pads both
+      m~21 matrix axes to 128-lane tiles and took 3.96s for 100k
+      windows — ~95% of the whole CSS phase 1 (round-4 profile); the
+      lane-major Jacobi does the same solves ~25x faster.  For
+      emulated float64 it is additionally the only accurate option:
+      XLA's eigh runs its iteration at ~f32 accuracy (~2e-6 eigenvalue
+      error measured) and intermittently returns NaN eigenpairs for
+      well-conditioned inputs, while the Jacobi — pure arithmetic,
+      NaN-free by construction — delivers the full emulated-f64
+      accuracy that ``precision="exact"`` promises.
+    * **CPU**: LAPACK ``eigh`` (fast and exact there; also what the
+      test suite exercises against the oracle)."""
+    if jax.default_backend() == "tpu" and a.ndim == 3:
+        # f32 reaches its roundoff in fewer sweeps (quadratic
+        # convergence; 7 measured at ~2e-6 top-2 error for m=21, the
+        # same as 10); f64 keeps the full budget
+        sweeps = 7 if a.dtype == jnp.float32 else 10
+        w, v = jacobi_eigh_lanes(a, sweeps=sweeps)    # unsorted
+        order = jnp.argsort(-w, axis=-1)[..., :2]
+        top_vals = jnp.take_along_axis(w, order, axis=-1)
+        vecs = jnp.take_along_axis(v, order[..., None, :], axis=-1)
+        return top_vals, vecs
     if a.dtype == jnp.float64 and jax.default_backend() == "tpu":
         w, v = jacobi_eigh(a)          # unsorted
         order = jnp.argsort(-w, axis=-1)[..., :2]

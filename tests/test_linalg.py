@@ -96,3 +96,55 @@ def test_top2_eig_matches_numpy(rng):
     got = np.abs(np.asarray(vecs))
     want = np.abs(vn[..., ::-1][..., :2])
     np.testing.assert_allclose(got, want, rtol=1e-7, atol=1e-8)
+
+
+def test_jacobi_lanes_matches_einsum_jacobi(rng):
+    """The lane-major solver (the TPU production path since round 4 —
+    batch on the minor axis, partner-permutation updates) must agree
+    with the matmul-form jacobi_eigh to rounding: same schedule, same
+    angle math, different layout/association only."""
+    from divergence_tpu.kernels.linalg import jacobi_eigh_lanes
+
+    for m in (2, 3, 5, 21, 22):
+        s = _sym(rng, 9, m)
+        w1, v1 = jacobi_eigh(jnp.asarray(s))
+        w2, v2 = jacobi_eigh_lanes(jnp.asarray(s))
+        np.testing.assert_allclose(
+            np.asarray(w2), np.asarray(w1), rtol=1e-12, atol=1e-12
+        )
+        np.testing.assert_allclose(
+            np.asarray(v2), np.asarray(v1), rtol=1e-10, atol=1e-11
+        )
+
+
+def test_jacobi_lanes_tie_and_degenerate(rng):
+    """The d == 0 tie branch keeps the pair antisymmetric via the static
+    role sign (own-perspective t would otherwise agree on BOTH sides);
+    degenerate/diagonal/zero inputs stay finite and orthonormal."""
+    from divergence_tpu.kernels.linalg import jacobi_eigh_lanes
+
+    m = 6
+    mats = [np.eye(m), np.zeros((m, m)), np.full((m, m), 3.0)]
+    tied = np.eye(m)
+    tied[0, m - 1] = tied[m - 1, 0] = 1.0   # equal diagonals, d == 0
+    mats.append(tied)
+    mats = np.asarray(mats)
+    w, v = jacobi_eigh_lanes(jnp.asarray(mats))
+    w, v = np.asarray(w), np.asarray(v)
+    assert np.isfinite(w).all() and np.isfinite(v).all()
+    for k in range(len(mats)):
+        np.testing.assert_allclose(
+            np.sort(w[k]), np.linalg.eigh(mats[k])[0], atol=1e-12
+        )
+        np.testing.assert_allclose(v[k].T @ v[k], np.eye(m), atol=1e-12)
+
+
+def test_jacobi_lanes_f32_seven_sweeps(rng):
+    """7 sweeps reach f32 roundoff for m=21 (the fast-mode TPU budget)."""
+    from divergence_tpu.kernels.linalg import jacobi_eigh_lanes
+
+    s = _sym(rng, 16, 21).astype(np.float32)
+    w, v = jacobi_eigh_lanes(jnp.asarray(s), sweeps=7)
+    wref = np.linalg.eigvalsh(s.astype(np.float64))
+    err = np.abs(np.sort(np.asarray(w), -1) - wref)
+    assert err.max() / np.abs(wref).max() < 1e-5, err.max()
