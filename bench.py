@@ -51,9 +51,24 @@ def _timed_runs(fn, n: int) -> list[float]:
 
 def make_chromosome(npos: int, region: int, asize: int, bsize: int, seed: int):
     rng = np.random.default_rng(seed)
-    positions = np.sort(
-        rng.choice(np.arange(1, region, dtype=np.int64), npos, replace=False)
-    )
+    if npos > 500_000:
+        # materializing arange(region) for choice(replace=False) costs
+        # GBs at chromosome-1 scale; oversampled unique ints give the
+        # same sorted-distinct-position contract (different stream, so
+        # gated to the new large sizes — existing workloads keep their
+        # round-2..4 content for cross-round comparability)
+        cand = rng.integers(1, region, size=int(npos * 1.05) + 64)
+        positions = np.unique(cand)
+        assert len(positions) >= npos, (len(positions), npos)
+        positions = positions[
+            np.sort(rng.choice(len(positions), npos, replace=False))
+        ]
+    else:
+        positions = np.sort(
+            rng.choice(
+                np.arange(1, region, dtype=np.int64), npos, replace=False
+            )
+        )
 
     def draw(size):
         p_major = rng.uniform(0.2, 0.9, size=(npos, 1))
@@ -215,8 +230,15 @@ def main() -> None:
     from divergence_tpu.oracle import reference as oracle
 
     asize, bsize = 11, 10
-    region = 10_000_000 if not cpu_fallback else 1_000_000
-    npos = 200_000 if not cpu_fallback else 20_000
+    # FET headline workload: human-chromosome-1 scale (round 5).  The
+    # round-2..4 workload (200k SNPs, 10 Mbp, ~0.145s warm) sat on the
+    # ~70ms fixed dispatch/RTT floor, so the captured number was at the
+    # mercy of tunnel variance and under-reported the chip ~2x
+    # (VERDICT r4 weak #1; baseline/exp_fet_floor.py measured the
+    # genome-scale execute itself at ~13M tests/s).  20M window-SNP
+    # tests put the warm wall >= ~1.5s, amortizing fixed costs to <5%.
+    region = 200_000_000 if not cpu_fallback else 1_000_000
+    npos = 4_000_000 if not cpu_fallback else 20_000
     # precision="fast" (f32) is the production configuration on TPU:
     # scores agree with the f64 path to ~1e-5 relative (docs/PARITY.md)
     # while f64 is software-emulated on this hardware.
@@ -258,14 +280,14 @@ def main() -> None:
     # a 100-250x-slow stream while the chip itself is fine (verified by
     # killing the process and re-probing — docs/ROUND4.md measurement
     # hygiene).  Flag it so a bad capture is interpretable rather than
-    # read as a regression; the fast-mode reference for this warm
-    # workload is ~0.12s.
-    tunnel_degraded = not cpu_fallback and tpu_s > 1.2
+    # read as a regression; rate-based so it tracks the workload size
+    # (normal >= ~10M tests/s; a degraded stream reads ~100x lower).
+    tunnel_degraded = not cpu_fallback and tpu_rate < 1.5e6
     if tunnel_degraded:
         print(
-            f"[bench] WARNING: warm FET run took {tpu_s:.2f}s (~0.12s "
-            "expected) — this process likely drew a degraded tunnel "
-            "stream; numbers below underreport the chip "
+            f"[bench] WARNING: warm FET ran at {tpu_rate:,.0f} tests/s "
+            "(>= ~10M expected) — this process likely drew a degraded "
+            "tunnel stream; numbers below underreport the chip "
             "(rerun bench.py in a fresh process)",
             file=sys.stderr,
         )
@@ -411,20 +433,33 @@ def main() -> None:
                 file=sys.stderr,
             )
 
-    # chromosome-scale CSS scan (the FET bench chromosome: ~20k windows,
-    # mixed significance like production data): measures the DISPATCH
-    # path — genome-sized runs were launch-bound on the remote tunnel
+    # mid-scale chromosome: the round-2..4 FET workload (200k SNPs,
+    # 10 Mbp, seed 7) — kept byte-identical so css_chrom_scale_* and the
+    # exact-mode fields stay comparable across rounds now that the FET
+    # headline moved to chromosome-1 scale
+    if not cpu_fallback:
+        mpos_n, m_region = 200_000, 10_000_000
+        mp, ma, mb = make_chromosome(mpos_n, m_region, asize, bsize, 7)
+        mpair = SnpPair(positions=mp, avals=ma, bvals=mb)
+    else:
+        mpair, m_region = pair, region
+
+    # chromosome-scale CSS scan (200k SNPs, ~20k windows, mixed
+    # significance like production data): measures the DISPATCH path —
+    # genome-sized runs were launch-bound on the remote tunnel
     # (~100 batches x fixed round trip) before the fused one-program
     # sweeps (round 3), which the 997-window worst-case above is too
     # small to expose
     if not cpu_fallback:
-        run_css(pair, region, css_cfg)
+        run_css(mpair, m_region, css_cfg)
         gs = gsum = None
 
         def _chrom_once():
             nonlocal gs, gsum
             gsum = RunSummary()
-            gs, _ = run_css(pair, region, css_cfg, summary=gsum, seqid="chrG")
+            gs, _ = run_css(
+                mpair, m_region, css_cfg, summary=gsum, seqid="chrG"
+            )
 
         g_times = _timed_runs(_chrom_once, max(2, n_runs - 1))
         g_s = min(g_times)
@@ -441,26 +476,64 @@ def main() -> None:
             float(np.median(g_times)), 2
         )
 
-    # Pearson-III approx mode: the production estimator at scale
-    approx_cfg = CssConfig(precision="fast", p_mode="approx")
-    run_css(cpair, css_region, approx_cfg)
-    ca = None
+    # Approx (Pearson-III) mode is DEMOTED from the timed headline
+    # (round 5): it is anti-conservative in the extreme tail and the
+    # fused shared-stream exact MC matches its wall time at genome
+    # scale (BENCH_r04 css_approx_speedup_vs_mc = 0.6) — `run-css
+    # --p-mode approx` now warns at runtime; the tail bound stays
+    # pinned in CI (tests/test_perm_kernel.py approx-tail bound).
 
-    def _approx_once():
-        nonlocal ca
-        ca, _ = run_css(cpair, css_region, approx_cfg)
+    # --- exact-precision mode (the reference-parity configuration,
+    # `--precision exact`; all-doubles like the C,
+    # reference statistics/fisher/cFisher.c:38).  Measured every round
+    # since round 5 (VERDICT r4 missing #2: the parity mode was flying
+    # unmeasured while being the then-CLI default). ---
+    e_runs = max(2, n_runs - 1)
+    e_cfg = FetConfig(precision="exact")
+    m_plan = plan_windows(mpair.positions, m_region, w.wsize, w.wstep)
+    m_valid = m_plan.valid_mask()
+    m_tests = int(m_plan.npos[m_valid].sum())
 
-    approx_s = min(_timed_runs(_approx_once, max(2, n_runs - 1)))
+    def _fet_exact_once():
+        run_fet(mpair, m_region, e_cfg)
+
+    _fet_exact_once()  # warmup/compile
+    fe_times = _timed_runs(_fet_exact_once, e_runs)
+    fe_s = min(fe_times)
     print(
-        f"[bench] css approx: {approx_s:.2f}s "
-        f"({int(np.count_nonzero(ca)) / approx_s:,.0f} win/s, "
-        f"{css_s / approx_s:.0f}x over exact MC)",
+        f"[bench] fet exact: {fe_s:.3f}s ({m_tests / fe_s:,.0f} tests/s; "
+        f"median {m_tests / float(np.median(fe_times)):,.0f})",
         file=sys.stderr,
     )
-    extras["css_approx_windows_per_sec"] = round(
-        int(np.count_nonzero(ca)) / approx_s, 1
+    extras["fet_exact_tests_per_sec"] = round(m_tests / fe_s, 1)
+    extras["fet_exact_tests_per_sec_median"] = round(
+        m_tests / float(np.median(fe_times)), 1
     )
-    extras["css_approx_speedup_vs_mc"] = round(css_s / approx_s, 1)
+    extras["fet_exact_wall_s_min"] = round(fe_s, 3)
+
+    ce_cfg = CssConfig(precision="exact")
+    ces = cesum = None
+
+    def _css_exact_once():
+        nonlocal ces, cesum
+        cesum = RunSummary()
+        ces, _ = run_css(cpair, css_region, ce_cfg, summary=cesum)
+
+    _css_exact_once()  # warmup/compile
+    ce_times = _timed_runs(_css_exact_once, e_runs)
+    ce_s = min(ce_times)
+    ce_mc = cesum.counters.get("mc_permutations", 0)
+    print(
+        f"[bench] css exact: {ce_s:.2f}s, {ce_mc / 1e6:.0f}M perms "
+        f"({ce_mc / ce_s / 1e6:.0f}M perms/s; median "
+        f"{ce_mc / float(np.median(ce_times)) / 1e6:.0f}M)",
+        file=sys.stderr,
+    )
+    extras["css_exact_perms_per_sec"] = round(ce_mc / ce_s, 1)
+    extras["css_exact_perms_per_sec_median"] = round(
+        ce_mc / float(np.median(ce_times)), 1
+    )
+    extras["css_exact_wall_s_min"] = round(ce_s, 3)
 
     if cpu_fallback:
         # On a CPU host the production MC evaluator is the threaded

@@ -64,10 +64,21 @@ def _fet_dispatch(
     maxs = kfet.support_size(pair.asize, pair.bsize)
     nmax = pair.asize + pair.bsize + 2
     # per-SNP exact tests ONCE per chromosome; windows overlap
-    # wsize/wstep-fold and gather from this array (kfet.fet_snp_logs)
-    snp_logs = kfet.fet_snp_logs_joint(
-        vals_d, pair.asize, maxs, nmax, fast=cfg.precision == "fast"
-    )
+    # wsize/wstep-fold and gather from this array (kfet.fet_snp_logs).
+    # In the LUT regime the per-SNP value is carried as an int32 rank
+    # into the sorted LUT instead of a float, so the per-window sort and
+    # every order-statistic selection run in native int32 — in exact
+    # mode that lifts the largest aggregate term out of emulated f64
+    # with BIT-IDENTICAL results (kfet.fet_snp_ranks_joint).
+    use_ranks = kfet.lut_active(pair.asize, pair.bsize, vals_d.shape[0])
+    if use_ranks:
+        lut_sorted, snp_ranks = kfet.fet_snp_ranks_joint(
+            vals_d, pair.asize, maxs, nmax, fast=cfg.precision == "fast"
+        )
+    else:
+        snp_logs = kfet.fet_snp_logs_joint(
+            vals_d, pair.asize, maxs, nmax, fast=cfg.precision == "fast"
+        )
 
     valid = plan.valid_mask() & (plan.npos > 0)
     ids = np.nonzero(valid)[0]
@@ -100,16 +111,29 @@ def _fet_dispatch(
         c["windows_evaluated"] = c.get("windows_evaluated", 0) + len(ids)
         c["buckets"] = c.get("buckets", 0) + Bt // Bp
 
-    out = kfet.fet_aggregate_all(
-        snp_logs,
-        rows_d,
-        key,
-        Bp=Bp,
-        P=P,
-        perc=float(cfg.percentile),
-        nsamples=cfg.bootstrap_samples,
-        fast=cfg.precision == "fast",
-    )
+    if use_ranks:
+        out = kfet.fet_aggregate_all_ranks(
+            lut_sorted,
+            snp_ranks,
+            rows_d,
+            key,
+            Bp=Bp,
+            P=P,
+            perc=float(cfg.percentile),
+            nsamples=cfg.bootstrap_samples,
+            fast=cfg.precision == "fast",
+        )
+    else:
+        out = kfet.fet_aggregate_all(
+            snp_logs,
+            rows_d,
+            key,
+            Bp=Bp,
+            P=P,
+            perc=float(cfg.percentile),
+            nsamples=cfg.bootstrap_samples,
+            fast=cfg.precision == "fast",
+        )
     return nslots, [(plan.slot[ids], len(ids), out)]
 
 

@@ -249,6 +249,151 @@ def fet_snp_logs(
     return jnp.take(lut, idx, axis=0)
 
 
+def lut_active(asize: int, bsize: int, npadded: int) -> bool:
+    """Host-side mirror of :func:`fet_snp_logs`' static LUT switch: the
+    per-table LUT pays off when the table grid is at most half the
+    (padded) chromosome length."""
+    grid = (asize + 1) ** 2 * (bsize + 1) ** 2
+    return 2 * grid <= npadded
+
+
+@functools.partial(
+    jax.jit, static_argnames=("asize", "maxs", "nmax", "fast")
+)
+def fet_snp_ranks_joint(
+    vals: jnp.ndarray,        # [N, asize+bsize] joint genotype upload
+    asize: int,
+    maxs: int,
+    nmax: int,
+    fast: bool = False,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """LUT-compressed per-SNP representation: ``(lut_sorted, ranks)``.
+
+    ``lut_sorted`` is the ascending sort of the per-table -log10 p LUT
+    (G = (asize+1)^2(bsize+1)^2 entries); ``ranks[i]`` is SNP i's index
+    into it.  Downstream aggregation (:func:`fet_aggregate_all_ranks`)
+    then sorts / rank-selects int32 ranks instead of floats and maps
+    back through one tiny gather at the very end — the window multiset
+    of ``lut_sorted[ranks]`` is exactly the multiset of per-SNP logs, a
+    non-decreasing map preserves order statistics, and ties gather equal
+    values, so scores are BIT-IDENTICAL to the float path
+    (tests/test_fet_kernel.py::test_rank_path_bit_identical).  The win:
+    in exact mode (f64, software-emulated on TPU) the per-window sort —
+    the largest aggregate-stage term — runs in native int32; only the
+    G-entry LUT build touches f64.  Valid only when
+    :func:`lut_active`; callers fall back to :func:`fet_snp_logs`."""
+    dtype = jnp.float32 if fast else jnp.float64
+    bsize = vals.shape[1] - asize
+    A1, B1 = asize + 1, bsize + 1
+    G = A1 * A1 * B1 * B1
+    grid = jnp.asarray(_table_grid(asize, bsize))
+    lut = -jnp.log10(fet_two_tailed(grid, maxs, nmax, dtype=dtype))
+    order = jnp.argsort(lut)
+    lut_sorted = jnp.take(lut, order, axis=0)
+    rank_of_entry = jnp.zeros((G,), jnp.int32).at[order].set(
+        jnp.arange(G, dtype=jnp.int32)
+    )
+    t = count_tables(vals[:, :asize], vals[:, asize:])
+    idx = ((t[..., 0] * A1 + t[..., 1]) * B1 + t[..., 2]) * B1 + t[..., 3]
+    return lut_sorted, jnp.take(rank_of_entry, idx, axis=0)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("Bp", "P", "perc", "nsamples", "fast")
+)
+def fet_aggregate_all_ranks(
+    lut_sorted: jnp.ndarray,  # [G] ascending LUT values
+    ranks: jnp.ndarray,       # [N] per-SNP LUT ranks (fet_snp_ranks_joint)
+    rows: jnp.ndarray,        # [3, Bt] packed lo/npos/slot, Bt % Bp == 0
+    key: jax.Array,           # CHROMOSOME key
+    Bp: int,
+    P: int,
+    perc: float,
+    nsamples: int,
+    fast: bool = False,
+) -> jnp.ndarray:
+    """Rank-space counterpart of :func:`fet_aggregate_all` (one device
+    program per chromosome; same map-over-uniform-slices shape).
+    Returns [2, Bt] (scores, stddev), bit-identical to the float path."""
+    dtype = jnp.float32 if fast else jnp.float64
+    nb = rows.shape[1] // Bp
+
+    def one(start):
+        r = jax.lax.dynamic_slice_in_dim(rows, start, Bp, axis=1)
+        lo, npos, slot = r[0], r[1], r[2]
+        offs = jnp.arange(P, dtype=lo.dtype)[None, :]
+        idx = jnp.where(offs < npos[:, None], lo[:, None] + offs, 0)
+        wranks = jnp.take(ranks, idx, axis=0)          # [Bp, P] int32
+        wkeys = slot_keys(key, slot)
+        s, d = _aggregate_ranks(
+            wranks, npos, float(perc), wkeys, nsamples, lut_sorted, dtype
+        )
+        return jnp.stack([s, d])
+
+    starts = jnp.arange(nb, dtype=jnp.int32) * Bp
+    out = jax.lax.map(one, starts)                 # [nb, 2, Bp]
+    return jnp.moveaxis(out, 0, 1).reshape(2, nb * Bp)
+
+
+def _aggregate_ranks(
+    ranks: jnp.ndarray,       # [B, P] per-(window, SNP) LUT ranks
+    npos: jnp.ndarray,        # [B]
+    perc: float,
+    wkeys: jax.Array,         # [B] per-window keys (perm.slot_keys)
+    nsamples: int,
+    lut_sorted: jnp.ndarray,  # [G] ascending LUT values
+    dtype,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """:func:`_aggregate` in LUT-rank space: identical rank arithmetic
+    and bootstrap stream (same keys, same dtype uniforms), with the sort
+    and every order-statistic selection over int32; the two percentile
+    picks and the [B, S] bootstrap picks map through ``lut_sorted`` just
+    before interpolation."""
+    B, P = ranks.shape
+    snp_mask = jnp.arange(P)[None, :] < npos[:, None]
+    # pad = -1 sorts ahead of every valid rank (the -inf of int space);
+    # _sorted_pick's end-anchored indexing never reads it for npos > 0
+    r_sorted = jnp.sort(jnp.where(snp_mask, ranks, -1), axis=-1)
+
+    def value_at(rank):
+        picked = _sorted_pick(r_sorted, npos, rank)
+        return jnp.take(
+            lut_sorted, jnp.clip(picked, 0, lut_sorted.shape[0] - 1), axis=0
+        )
+
+    idx, hi_idx, delta = _interp_ranks(npos, perc, dtype=dtype)
+    v_lo = value_at(idx[..., None])[..., 0]
+    v_hi = value_at(hi_idx[..., None])[..., 0]
+    scores = (1.0 - delta) * v_lo + delta * v_hi
+
+    nf = npos.astype(dtype)[:, None]
+    idx_f = idx.astype(dtype)[:, None]
+    hi_f = hi_idx.astype(dtype)[:, None]
+    t1 = jnp.maximum(nf - 1.0 - idx_f, 0.0)
+    t2 = nf - 1.0 - hi_f
+    steps_max = _steps_max(P, perc, dtype)
+    u1, u2 = _order_stat_uniforms(
+        wkeys, nf, t1, t2, nsamples, steps_max, dtype
+    )
+
+    def rank_of(u):
+        r = jnp.ceil(nf * u) - 1.0
+        return jnp.clip(r, 0.0, jnp.maximum(nf - 1.0, 0.0)).astype(jnp.int32)
+
+    x1 = value_at(rank_of(u1))                              # [B, S]
+    same = (hi_idx == idx)[:, None]
+    x2 = jnp.where(same, x1, value_at(rank_of(u2)))
+    reps = (1.0 - delta[:, None]) * x1 + delta[:, None] * x2
+    mu = jnp.mean(reps, axis=-1, keepdims=True)
+    stddev = jnp.sqrt(jnp.mean((reps - mu) ** 2, axis=-1))
+
+    valid_w = npos > 0
+    return (
+        jnp.where(valid_w, scores, 0.0),
+        jnp.where(valid_w, stddev, 0.0),
+    )
+
+
 @functools.partial(
     jax.jit, static_argnames=("perc", "nsamples", "P", "fast")
 )

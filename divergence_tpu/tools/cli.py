@@ -243,6 +243,19 @@ def cmd_run_css(args) -> None:
         "smacof": MdsAlgorithm.SMACOF,
         "cmds+smacof": MdsAlgorithm.CMDS_SMACOF,
     }[args.mds]
+    if args.p_mode == "approx":
+        # Measured round 4: the Pearson-III tail reads up to ~4x smaller
+        # than the exact MC for true p <= 1e-3 (anti-conservative,
+        # baseline/exp_approx_tail.py) AND the fused shared-stream MC is
+        # no slower at genome scale — approx survives only for callers
+        # that explicitly want the moment fit.
+        print(
+            "WARNING: --p-mode approx is ANTI-conservative in the "
+            "extreme tail (p up to ~4x too small for true p <= 1e-3; "
+            "docs/PARITY.md) and is not faster than the exact MC at "
+            "genome scale — prefer the default --p-mode mc",
+            file=sys.stderr,
+        )
     cfg = CssConfig(
         window=WindowConfig(wsize=args.wsize, wstep=args.wstep),
         mc_threshold=args.mc_threshold,
@@ -441,9 +454,13 @@ def _add_run_common(p: argparse.ArgumentParser) -> None:
     p.add_argument(
         "--precision",
         choices=["exact", "fast"],
-        default="exact",
-        help="exact = float64 (reference parity); fast = float32 "
-        "(~1e-5 relative score accuracy, ~2x throughput on TPU)",
+        default="fast",
+        help="fast = float32 (the production default on TPU, where f64 "
+        "is software-emulated; ~1e-5 relative score accuracy, "
+        "docs/PARITY.md); exact = float64 end-to-end (the "
+        "reference-parity mode — the reference C is all doubles; both "
+        "modes are measured every round, bench.py fet_exact_* / "
+        "css_exact_* fields)",
     )
 
 
@@ -504,9 +521,10 @@ def build_parser() -> argparse.ArgumentParser:
         "--perm-backend",
         choices=["xla", "native"],
         default="xla",
-        help="MC chunk evaluator: xla (stream-pinned threefry), the "
-        "fused Pallas on-core-PRNG kernel, or the threaded C++ host "
-        "evaluator (same stream, per-window early exit — for CPU hosts)",
+        help="MC chunk evaluator: xla = device evaluator (shared-stream "
+        "MXU matmul by default, per-window threefry streams with "
+        "--mc-stream window); native = threaded C++ host evaluator "
+        "(window streams, per-window early exit — for CPU hosts)",
     )
     p.add_argument(
         "--rng",

@@ -300,3 +300,30 @@ def test_compact_upload_noninteger_fallback(rng):
     pair = SnpPair(positions=positions, avals=fa, bvals=fb)
     a, b = pair.device_values(compact=True)
     assert a.dtype == np.float64 and b.dtype == np.float64
+
+
+def test_engine_rank_path_matches_float_path(rng, monkeypatch):
+    """run_fet's LUT-rank dispatch (active when the table grid is small
+    vs the chromosome, round 5) is bit-identical to the float dispatch
+    on the SAME inputs — verified end-to-end by forcing lut_active off."""
+    from divergence_tpu.kernels import fet as kfet
+
+    asize, bsize = 3, 2
+    n = 600  # pads to 1024 >> 2*(4^2*3^2)=288 -> rank path active
+    positions = np.sort(
+        rng.choice(np.arange(1, 20_000), size=n, replace=False)
+    )
+    av = rng.choice([3.0, -3.0, 0.0, -10000.0], size=(n, asize))
+    bv = rng.choice([3.0, -3.0, 0.0, -10000.0], size=(n, bsize))
+    for precision in ("exact", "fast"):
+        cfg = FetConfig(window=WCFG, precision=precision)
+        pair1 = SnpPair(positions=positions, avals=av, bvals=bv)
+        assert kfet.lut_active(asize, bsize, 1024)
+        s_rank, d_rank = run_fet(pair1, REGEND, cfg)
+        monkeypatch.setattr(kfet, "lut_active", lambda *a: False)
+        pair2 = SnpPair(positions=positions, avals=av, bvals=bv)
+        s_float, d_float = run_fet(pair2, REGEND, cfg)
+        monkeypatch.undo()
+        np.testing.assert_array_equal(s_rank, s_float)
+        np.testing.assert_array_equal(d_rank, d_float)
+        assert np.count_nonzero(s_rank) > 0

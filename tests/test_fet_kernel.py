@@ -280,3 +280,47 @@ def test_bootstrap_stddev_batching_invariant(rng):
         d_cat = np.concatenate([np.asarray(agg(p)[1]) for p in parts])
         assert (np.asarray(s_all) == s_cat).all()
         assert (np.asarray(d_all) == d_cat).all()
+
+
+def test_rank_path_bit_identical(rng):
+    """The rank-space aggregation (int32 sort over LUT ranks,
+    fet_snp_ranks_joint + fet_aggregate_all_ranks — round 5) must be
+    BIT-identical to the float path (fet_snp_logs_joint +
+    fet_aggregate_all) in both precisions: same multiset of values per
+    window, same rank arithmetic, same slot-pinned bootstrap stream."""
+    asize, bsize = 3, 2
+    G = (asize + 1) ** 2 * (bsize + 1) ** 2
+    N = 4 * G
+    vals = jnp.asarray(
+        rng.choice([3.0, -3.0, 0.0, -10000.0], size=(N, asize + bsize))
+    )
+    maxs = kfet.support_size(asize, bsize)
+    nmax = asize + bsize + 2
+    assert kfet.lut_active(asize, bsize, N)
+
+    B, P, Bp = 24, 32, 8
+    lo = rng.integers(0, N - P, size=B)
+    npos = rng.integers(0, P + 1, size=B)  # include empty windows
+    slot = rng.permutation(np.arange(50, 50 + B))
+    rows = jnp.asarray(np.stack([lo, npos, slot]).astype(np.int64))
+    key = jax.random.PRNGKey(3)
+
+    for fast in (False, True):
+        snp_logs = kfet.fet_snp_logs_joint(vals, asize, maxs, nmax, fast=fast)
+        lut_sorted, ranks = kfet.fet_snp_ranks_joint(
+            vals, asize, maxs, nmax, fast=fast
+        )
+        # the compressed representation reconstructs the per-SNP logs
+        assert (
+            np.asarray(jnp.take(lut_sorted, ranks)) == np.asarray(snp_logs)
+        ).all()
+        want = np.asarray(kfet.fet_aggregate_all(
+            snp_logs, rows, key, Bp=Bp, P=P, perc=0.95, nsamples=40,
+            fast=fast,
+        ))
+        got = np.asarray(kfet.fet_aggregate_all_ranks(
+            lut_sorted, ranks, rows, key, Bp=Bp, P=P, perc=0.95,
+            nsamples=40, fast=fast,
+        ))
+        assert (got == want).all()
+        assert np.count_nonzero(got[0]) > 0
