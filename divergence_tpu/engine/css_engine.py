@@ -64,6 +64,7 @@ def _css_phase1_dispatch(
     cfg: CssConfig,
     sharding,
     key: jax.Array,
+    slot_range: tuple[int, int] | None = None,
 ):
     """Enqueue the score/distance kernels for one chromosome (no sync).
 
@@ -94,7 +95,11 @@ def _css_phase1_dispatch(
         and (npad_dev + 1) * m_all * m_all <= PREFIX_MAX_ELEMS
     )
 
-    valid_npos = np.where(plan.valid_mask(), plan.npos, 0)
+    valid = plan.valid_mask()
+    if slot_range is not None:
+        # multi-host slot-range partitioning (see fet_engine._fet_dispatch)
+        valid &= (plan.slot >= slot_range[0]) & (plan.slot < slot_range[1])
+    valid_npos = np.where(valid, plan.npos, 0)
     if use_prefix:
         # the prefix kernel never materializes [B, P, m] window gathers —
         # its per-window cost is independent of padded_npos — and the
@@ -246,6 +251,7 @@ def run_css(
     sharding=None,
     summary: RunSummary | None = None,
     seqid: str = "_",
+    slot_range: tuple[int, int] | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """CSS scan of one chromosome.
 
@@ -256,7 +262,8 @@ def run_css(
     the same chromosome inside a genome-wide :func:`run_css_multi`."""
     cfg = cfg or CssConfig()
     results = run_css_multi(
-        {seqid: (pair, regend)}, cfg, sharding=sharding, summary=summary
+        {seqid: (pair, regend)}, cfg, sharding=sharding, summary=summary,
+        slot_ranges={seqid: slot_range} if slot_range is not None else None,
     )
     return results[seqid]
 
@@ -266,6 +273,7 @@ def run_css_multi(
     cfg: CssConfig | None = None,
     sharding=None,
     summary: RunSummary | None = None,
+    slot_ranges: dict[str, tuple[int, int]] | None = None,
 ) -> dict[str, tuple[np.ndarray, np.ndarray]]:
     """Genome-wide CSS: phase 1 of every chromosome is enqueued before the
     single packed host sync, and the adaptive permutation Monte-Carlo runs
@@ -285,7 +293,8 @@ def run_css_multi(
             # on which other chromosomes share the run (or host partition)
             ckey = jax.random.fold_in(key, kperm.chrom_hash(seqid))
             nslots, planned, pending = _css_phase1_dispatch(
-                pair, regend, cfg, sharding, ckey
+                pair, regend, cfg, sharding, ckey,
+                (slot_ranges or {}).get(seqid),
             )
             planned_total += planned
             per_chrom.append(

@@ -43,6 +43,7 @@ def _fet_dispatch(
     sharding,
     summary: RunSummary | None,
     key: jax.Array,
+    slot_range: tuple[int, int] | None = None,
 ):
     """Enqueue one chromosome's FET sweep as ONE device program (no host
     sync): per-SNP logs (kfet.fet_snp_logs) + a ``lax.map`` over uniform
@@ -81,6 +82,13 @@ def _fet_dispatch(
         )
 
     valid = plan.valid_mask() & (plan.npos > 0)
+    if slot_range is not None:
+        # multi-host slot-range partitioning: evaluate only owned slots
+        # (windows straddling the cut belong to exactly one host; the
+        # halo SNPs they read are included in this host's input span —
+        # parallel/multihost.py:partition_chromosomes).  Slot-keyed RNG
+        # makes the restricted run bit-identical to the full run.
+        valid &= (plan.slot >= slot_range[0]) & (plan.slot < slot_range[1])
     ids = np.nonzero(valid)[0]
     if len(ids) == 0:
         return nslots, []
@@ -165,6 +173,7 @@ def run_fet(
     sharding=None,
     summary: RunSummary | None = None,
     seqid: str = "_",
+    slot_range: tuple[int, int] | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """FET scan of one chromosome.
 
@@ -181,7 +190,9 @@ def run_fet(
     key = jax.random.fold_in(
         jax.random.PRNGKey(cfg.seed), _chrom_hash(seqid)
     )
-    nslots, pending = _fet_dispatch(pair, regend, cfg, sharding, summary, key)
+    nslots, pending = _fet_dispatch(
+        pair, regend, cfg, sharding, summary, key, slot_range
+    )
     scores = np.zeros(nslots, dtype=np.float64)
     stddev = np.zeros(nslots, dtype=np.float64)
     if pending:
@@ -195,6 +206,7 @@ def run_fet_multi(
     cfg: FetConfig | None = None,
     sharding=None,
     summary: RunSummary | None = None,
+    slot_ranges: dict[str, tuple[int, int]] | None = None,
 ) -> dict[str, tuple[np.ndarray, np.ndarray]]:
     """Genome-wide FET: every chromosome's kernels are enqueued before the
     single packed host sync — per-chromosome fixed latencies overlap
@@ -210,7 +222,8 @@ def run_fet_multi(
             # across multi-host chromosome partitionings
             key = jax.random.fold_in(base, _chrom_hash(seqid))
             nslots, pending = _fet_dispatch(
-                pair, regend, cfg, sharding, summary, key
+                pair, regend, cfg, sharding, summary, key,
+                (slot_ranges or {}).get(seqid),
             )
             per_chrom.append((seqid, nslots, pending))
 

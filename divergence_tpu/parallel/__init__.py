@@ -15,6 +15,7 @@ from divergence_tpu.parallel.mesh import (
 )
 from divergence_tpu.parallel.multihost import (
     HostAssignment,
+    WorkRange,
     merge_score_shards,
     partition_chromosomes,
 )
@@ -28,6 +29,7 @@ __all__ = [
     "pad_to_multiple",
     "make_divergence_step",
     "HostAssignment",
+    "WorkRange",
     "partition_chromosomes",
     "merge_score_shards",
 ]

@@ -77,18 +77,49 @@ def _load_pairs(args):
 
 
 def _host_filter(pairs, args):
-    """Multi-host chromosome partitioning (deterministic, no comms)."""
+    """Multi-host work partitioning (deterministic, no comms).
+
+    Slot-granular since round 5: a chromosome whose weight exceeds the
+    per-host average is split into contiguous slot ranges (the
+    generalization of the reference's window-range tasking,
+    reference statistics/css/threadcss.c:114-124), so a genome that is
+    one large chromosome still scales across hosts.  Each host's input
+    is sliced to its owned span plus the wsize-wstep halo at each cut;
+    slot-keyed RNG makes the union of host outputs bit-identical to the
+    single-host run (tests/test_parallel.py slot-range tests).
+
+    Returns (pairs, slot_ranges) — slot_ranges only carries entries for
+    partial-chromosome assignments."""
     if args.num_hosts <= 1:
-        return pairs
+        return pairs, None
     from divergence_tpu.parallel import partition_chromosomes
 
     weights = {s: p.npos for s, (p, _) in pairs.items()}
-    assignment = partition_chromosomes(weights, args.num_hosts, args.host_id)
-    print(
-        f"host {args.host_id}/{args.num_hosts} takes "
-        f"{list(assignment.seqids)}"
+    nslots = {s: r // args.wstep for s, (_, r) in pairs.items()}
+    assignment = partition_chromosomes(
+        weights, args.num_hosts, args.host_id, seqid_nslots=nslots
     )
-    return {s: pairs[s] for s in assignment.seqids}
+    out, slot_ranges = {}, {}
+    for wr in assignment.ranges:
+        pair, regend = pairs[wr.seqid]
+        if wr.covers(nslots[wr.seqid]):
+            out[wr.seqid] = (pair, regend)
+            continue
+        # partial chromosome: slice the SNP span this range can read —
+        # [slot_lo*wstep, (slot_hi-1)*wstep + wsize] inclusive (window
+        # [start, start+wsize] includes both endpoints, core/windows.py)
+        hi_slot = min(wr.slot_hi, nslots[wr.seqid]) - 1
+        span_lo = wr.slot_lo * args.wstep
+        span_hi = hi_slot * args.wstep + args.wsize
+        out[wr.seqid] = (pair.slice_span(span_lo, span_hi), regend)
+        slot_ranges[wr.seqid] = (wr.slot_lo, wr.slot_hi)
+    desc = [
+        f"{r.seqid}" if r.covers(nslots[r.seqid])
+        else f"{r.seqid}[{r.slot_lo}:{min(r.slot_hi, nslots[r.seqid])}]"
+        for r in assignment.ranges
+    ]
+    print(f"host {args.host_id}/{args.num_hosts} takes {desc}")
+    return out, slot_ranges or None
 
 
 def _mesh_sharding(args):
@@ -113,8 +144,15 @@ def _run_engine(args, engine, cfg, columns, engine_multi=None) -> None:
     from divergence_tpu.utils.summary import RunSummary
 
     pairs, _ = _load_pairs(args)
-    pairs = _host_filter(pairs, args)
+    pairs, slot_ranges = _host_filter(pairs, args)
     sharding = _mesh_sharding(args)
+
+    def _part_name(seqid):
+        # partial-chromosome shards (slot-range partitioning) get their
+        # range in the part-file name, so a re-partitioned resume never
+        # silently reuses a stale partial file
+        r = (slot_ranges or {}).get(seqid)
+        return f"{seqid}.tsv" if r is None else f"{seqid}@{r[0]}-{r[1]}.tsv"
     summary = RunSummary(name=args.cmd)
 
     parts_dir = None
@@ -153,7 +191,7 @@ def _run_engine(args, engine, cfg, columns, engine_multi=None) -> None:
 
         remaining = {}
         for seqid, (pair, regend) in pairs.items():
-            part = parts_dir / f"{seqid}.tsv"
+            part = parts_dir / _part_name(seqid)
             if not part.exists():
                 remaining[seqid] = (pair, regend)
                 continue
@@ -174,7 +212,7 @@ def _run_engine(args, engine, cfg, columns, engine_multi=None) -> None:
         print(f"{seqid}: {nw} scored windows")
         if parts_dir is not None:
             write_score_track(
-                parts_dir / f"{seqid}.tsv",
+                parts_dir / _part_name(seqid),
                 {seqid: results[seqid]},
                 cfg.window.wstep,
                 columns,
@@ -186,7 +224,12 @@ def _run_engine(args, engine, cfg, columns, engine_multi=None) -> None:
         with profile_ctx, summary.stage("genome"):
             results.update(
                 engine_multi(
-                    remaining, cfg, sharding=sharding, summary=summary
+                    remaining, cfg, sharding=sharding, summary=summary,
+                    slot_ranges={
+                        s: r
+                        for s, r in (slot_ranges or {}).items()
+                        if s in remaining
+                    } or None,
                 )
             )
         for seqid in remaining:
@@ -202,6 +245,7 @@ def _run_engine(args, engine, cfg, columns, engine_multi=None) -> None:
                         sharding=sharding,
                         summary=summary,
                         seqid=seqid,
+                        slot_range=(slot_ranges or {}).get(seqid),
                     )
                 _finish_chrom(seqid)
     elapsed = time.perf_counter() - t0
@@ -302,7 +346,11 @@ def _cmd_merge_tracks(args) -> None:
     writes + host-side concat instead of an on-device gather)."""
     from divergence_tpu.io.gtrack import read_score_track
 
-    seen: dict[str, str] = {}
+    # slot-range shards (round 5) may legitimately split one chromosome
+    # across hosts, so overlap detection is per-ROW: the same (seqid,
+    # start) window appearing in two shards means the partitions
+    # overlap (or the same shard was passed twice) — refuse.
+    seen_rows: dict[tuple[str, int], str] = {}
     rows: list[tuple[str, int, str]] = []
     header = None
     for path in args.inputs:
@@ -317,13 +365,14 @@ def _cmd_merge_tracks(args) -> None:
                     f"{header!r} — refusing to merge mixed track types"
                 )
         seqids, starts, c2, c3 = read_score_track(path)
-        for s in set(seqids):
-            if s in seen:
-                raise SystemExit(
-                    f"chromosome {s} appears in both {seen[s]} and {path}"
-                )
-            seen[s] = str(path)
         for s, st, a, b in zip(seqids, starts, c2, c3):
+            rk = (s, int(st))
+            if rk in seen_rows:
+                raise SystemExit(
+                    f"window {s}:{st} appears in both {seen_rows[rk]} "
+                    f"and {path} — host shards overlap"
+                )
+            seen_rows[rk] = str(path)
             rows.append(
                 (s, int(st), f"{s}\t{st}\t{float(a)!r}\t{float(b)!r}\n")
             )
@@ -594,7 +643,8 @@ def build_parser() -> argparse.ArgumentParser:
 
     p = sub.add_parser(
         "merge-tracks",
-        help="merge per-host score-track shards (disjoint chromosomes)",
+        help="merge per-host score-track shards (disjoint chromosomes "
+        "or slot ranges; duplicate windows are refused)",
     )
     p.add_argument("--inputs", nargs="+", required=True)
     p.add_argument("--out", required=True)

@@ -514,3 +514,91 @@ def test_cli_partial_resume_uses_fused_genome_path(tmp_path):
     assert out.read_text() == fresh
     s2 = json.loads((tmp_path / "resume2_summary.json").read_text())
     assert "genome" in s2["timings_s"]      # fused genome-wide dispatch
+
+
+def test_cli_slot_range_partitioning_one_chromosome(toy_vcf):
+    """VERDICT r4 missing #1 done-bar: --num-hosts 2 on a ONE-chromosome
+    genome splits it into slot ranges (each host evaluates only its half
+    of the windows — nonzero rows on BOTH hosts, disjoint, in the right
+    slot halves) and merge-tracks reassembles a track byte-identical to
+    the single-host run.  Covers both engines; the CSS side additionally
+    pins the genome-wide MC's partition invariance under a slot split."""
+    tmp, vcf, sizes, anames, bnames = toy_vcf
+    nslots = 20_000 // 500
+
+    for sub, extra, out in (
+        ("run-fet", [], "sr_fet"),
+        ("run-css", ["--mc-runs", "400"], "sr_css"),
+    ):
+        common = [
+            sub,
+            "--pop-a", str(tmp / "popA.gtrack"),
+            "--pop-b", str(tmp / "popB.gtrack"),
+            "--chrom-sizes", str(sizes),
+        ] + extra
+        cli_main(common + ["--out", str(tmp / f"{out}_single.track")])
+        for host in (0, 1):
+            cli_main(
+                common
+                + [
+                    "--out", str(tmp / f"{out}_h{host}.track"),
+                    "--num-hosts", "2",
+                    "--host-id", str(host),
+                ]
+            )
+        cli_main(
+            [
+                "merge-tracks",
+                "--inputs",
+                str(tmp / f"{out}_h0.track"),
+                str(tmp / f"{out}_h1.track"),
+                "--out", str(tmp / f"{out}_merged.track"),
+            ]
+        )
+
+        def rows(name):
+            return [
+                ln
+                for ln in (tmp / name).read_text().splitlines()
+                if ln and not ln.startswith("#")
+            ]
+
+        h0, h1 = rows(f"{out}_h0.track"), rows(f"{out}_h1.track")
+        # both hosts did real work, each strictly inside its slot half
+        assert h0 and h1
+        cut = nslots // 2 * 500
+        assert all(int(ln.split("\t")[1]) < cut for ln in h0)
+        assert all(int(ln.split("\t")[1]) >= cut for ln in h1)
+        # byte-identical reassembly (headers + rows + row order)
+        assert (tmp / f"{out}_merged.track").read_text() == (
+            tmp / f"{out}_single.track"
+        ).read_text()
+
+
+def test_partition_chromosomes_slot_ranges():
+    """Slot-granular partitioning: ranges are disjoint, cover every
+    slot, and balance a one-chromosome genome across hosts."""
+    from divergence_tpu.parallel import partition_chromosomes
+
+    weights = {"big": 10_000, "small": 400}
+    nslots = {"big": 100, "small": 7}
+    got = {}
+    for h in range(4):
+        a = partition_chromosomes(weights, 4, h, seqid_nslots=nslots)
+        assert a.process_id == h
+        for r in a.ranges:
+            got.setdefault(r.seqid, []).append((r.slot_lo, r.slot_hi))
+    # union covers [0, nslots) exactly, no overlap
+    for seqid, n in nslots.items():
+        ivs = sorted(got[seqid])
+        assert ivs[0][0] == 0
+        for (al, ah), (bl, bh) in zip(ivs, ivs[1:]):
+            assert ah == bl
+        assert ivs[-1][1] >= n
+    # the big chromosome was actually split
+    assert len(got["big"]) == 4
+    # chromosome-granular mode unchanged (no nslots)
+    a0 = partition_chromosomes(weights, 2, 0)
+    a1 = partition_chromosomes(weights, 2, 1)
+    assert {s for s in a0.seqids} | {s for s in a1.seqids} == set(weights)
+    assert not (set(a0.seqids) & set(a1.seqids))
