@@ -130,22 +130,29 @@ def _mesh_sharding(args):
     return window_sharding(make_mesh())
 
 
-def _run_engine(args, engine, cfg, columns, engine_multi=None) -> None:
+def _run_engine(args, engine, cfg, columns, engine_multi=None,
+                preloaded=None) -> None:
     """Shared driver for run-fet / run-css.
 
     Per-chromosome part files make a failed genome-wide run resumable at
     chromosome granularity (SURVEY.md §5 failure model: per-job restart,
     shard = chromosome); ``--profile`` wraps the run in a
-    ``jax.profiler`` trace."""
+    ``jax.profiler`` trace.  ``preloaded`` = (pairs, slot_ranges,
+    sharding) lets ``run-all`` load + upload the genome ONCE for both
+    engines (the joint int16 genotype upload is cached on the SnpPair
+    objects, engine/snp.py:device_values_joint)."""
     import contextlib
 
     from divergence_tpu.io import write_score_track
     from divergence_tpu.io.gtrack import read_score_track
     from divergence_tpu.utils.summary import RunSummary
 
-    pairs, _ = _load_pairs(args)
-    pairs, slot_ranges = _host_filter(pairs, args)
-    sharding = _mesh_sharding(args)
+    if preloaded is None:
+        pairs, _ = _load_pairs(args)
+        pairs, slot_ranges = _host_filter(pairs, args)
+        sharding = _mesh_sharding(args)
+    else:
+        pairs, slot_ranges, sharding = preloaded
 
     def _part_name(seqid):
         # partial-chromosome shards (slot-range partitioning) get their
@@ -322,6 +329,114 @@ def cmd_run_css(args) -> None:
     )
 
 
+def cmd_run_all(args) -> None:
+    """Whole pipeline in ONE process: run-fet + run-css + both region
+    callers + HTML report.
+
+    The platform runs every statistic inside one job
+    (reference tools/FisherExactTestSNPTool.py:167-171); staged CLI runs
+    re-pay the per-process tunnel constants (backend init + trace/
+    cache-load, ~7.3s measured, docs/ROUND4.md §6) and the genotype
+    upload per subcommand.  Here the genome is read, aligned, and
+    uploaded ONCE (the SnpPair device cache is shared by both engines)
+    and every fixed cost is paid once.  Outputs are byte-identical to
+    the staged subcommands (RNG streams are (seed, chrom, slot)-pinned;
+    tests/test_cli.py::test_run_all_matches_staged_pipeline)."""
+    import argparse as _ap
+
+    from divergence_tpu.config import (
+        CssConfig,
+        FetConfig,
+        MdsAlgorithm,
+        WindowConfig,
+    )
+    from divergence_tpu.engine import run_css, run_fet
+    from divergence_tpu.engine.css_engine import run_css_multi
+    from divergence_tpu.engine.fet_engine import run_fet_multi
+
+    outdir = Path(args.outdir)
+    outdir.mkdir(parents=True, exist_ok=True)
+
+    pairs, _ = _load_pairs(args)
+    pairs, slot_ranges = _host_filter(pairs, args)
+    sharding = _mesh_sharding(args)
+    preloaded = (pairs, slot_ranges, sharding)
+
+    def stage_args(cmd, out, summary):
+        d = dict(vars(args))
+        d.update(cmd=cmd, out=str(out), summary=summary)
+        return _ap.Namespace(**d)
+
+    wcfg = WindowConfig(wsize=args.wsize, wstep=args.wstep)
+    fet_cfg = FetConfig(
+        window=wcfg,
+        percentile=args.percentile,
+        bootstrap_samples=args.bootstrap_samples,
+        seed=args.seed,
+        precision=args.precision,
+    )
+    fet_track = outdir / "fet.track"
+    _run_engine(
+        stage_args("run-fet", fet_track, str(outdir / "fet_summary.json")),
+        run_fet, fet_cfg, ("score", "stddev"),
+        engine_multi=run_fet_multi, preloaded=preloaded,
+    )
+
+    mds = {
+        "cmds": MdsAlgorithm.CMDS,
+        "smacof": MdsAlgorithm.SMACOF,
+        "cmds+smacof": MdsAlgorithm.CMDS_SMACOF,
+    }[args.mds]
+    css_cfg = CssConfig(
+        window=wcfg,
+        mc_threshold=args.mc_threshold,
+        mc_runs=args.mc_runs,
+        drosophila=args.drosophila,
+        mds=mds,
+        seed=args.seed,
+        mc_chunk=args.mc_chunk,
+        precision=args.precision,
+        p_mode=args.p_mode,
+        perm_backend=args.perm_backend,
+        rng=args.rng,
+        perm_form=args.perm_form,
+        mc_stream=args.mc_stream,
+    )
+    css_track = outdir / "css.track"
+    _run_engine(
+        stage_args("run-css", css_track, str(outdir / "css_summary.json")),
+        run_css, css_cfg, ("score", "p"),
+        engine_multi=run_css_multi, preloaded=preloaded,
+    )
+
+    cmd_filter_fet(_ap.Namespace(
+        scores=str(fet_track),
+        out=str(outdir / "fet_regions.gtrack"),
+        max_distance=args.max_distance,
+        norm_quantile=args.norm_quantile,
+        stddev_percentile=args.stddev_percentile,
+        chrom_sizes=args.chrom_sizes,
+    ))
+    cmd_call_css_regions(_ap.Namespace(
+        scores=str(css_track),
+        out=str(outdir / "css_regions.gtrack"),
+        mode=args.mode,
+        fdr=args.fdr,
+        num_top=args.num_top,
+        window_size=args.wsize,
+        chrom_sizes=args.chrom_sizes,
+    ))
+    _cmd_report(_ap.Namespace(
+        fet_track=str(fet_track),
+        css_track=str(css_track),
+        fet_regions=str(outdir / "fet_regions.gtrack"),
+        css_regions=str(outdir / "css_regions.gtrack"),
+        run_summary=str(outdir / "fet_summary.json"),
+        out=str(outdir / "report.html"),
+        title=args.title,
+    ))
+
+
 def _cmd_report(args) -> None:
     from divergence_tpu.tools.report import write_report
 
@@ -469,10 +584,11 @@ def cmd_call_css_regions(args) -> None:
     )
 
 
-def _add_run_common(p: argparse.ArgumentParser) -> None:
+def _add_run_common(p: argparse.ArgumentParser, with_out: bool = True) -> None:
     p.add_argument("--pop-a", required=True, help="population A GTrack file")
     p.add_argument("--pop-b", required=True, help="population B GTrack file")
-    p.add_argument("--out", required=True, help="output score track")
+    if with_out:
+        p.add_argument("--out", required=True, help="output score track")
     p.add_argument("--wsize", type=int, default=2500)
     p.add_argument("--wstep", type=int, default=500)
     p.add_argument("--seed", type=int, default=0)
@@ -537,70 +653,100 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--genome", default="unknown")
     p.set_defaults(fn=cmd_convert_snp_table)
 
+    def _add_fet_args(p):
+        p.add_argument("--percentile", type=float, default=0.95)
+        p.add_argument("--bootstrap-samples", type=int, default=100)
+
     p = sub.add_parser("run-fet", help="windowed Fisher's Exact Test scan")
     _add_run_common(p)
-    p.add_argument("--percentile", type=float, default=0.95)
-    p.add_argument("--bootstrap-samples", type=int, default=100)
+    _add_fet_args(p)
     p.set_defaults(fn=cmd_run_fet)
+
+    def _add_css_args(p):
+        p.add_argument(
+            "--mds",
+            choices=["cmds", "smacof", "cmds+smacof"],
+            default="cmds",
+        )
+        p.add_argument("--mc-threshold", type=int, default=10)
+        p.add_argument("--mc-runs", type=int, default=200_000)
+        p.add_argument("--mc-chunk", type=int, default=256)
+        p.add_argument(
+            "--p-mode",
+            choices=["mc", "approx"],
+            default="mc",
+            help="mc = reference-exact adaptive Monte-Carlo (default; the "
+            "fused genome-wide MC matches approx-mode wall time at genome "
+            "scale).  approx = Pearson-III moment fit from a few "
+            "permutation chunks — caps worst-case all-divergent latency, "
+            "but is ANTI-conservative in the extreme tail: p can read up "
+            "to ~4x smaller than the exact MC for true p <= 1e-3 "
+            "(measured: baseline/exp_approx_tail.py; docs/PARITY.md)",
+        )
+        p.add_argument("--drosophila", action="store_true")
+        p.add_argument(
+            "--perm-backend",
+            choices=["xla", "native"],
+            default="xla",
+            help="MC chunk evaluator: xla = device evaluator (shared-stream "
+            "MXU matmul by default, per-window threefry streams with "
+            "--mc-stream window); native = threaded C++ host evaluator "
+            "(window streams, per-window early exit — for CPU hosts)",
+        )
+        p.add_argument(
+            "--rng",
+            choices=["mix", "threefry"],
+            default="mix",
+            help="permutation draw stream (xla backend): mix = counter "
+            "expansion (faster), threefry = round-1 f32-uniform stream; "
+            "both (seed, chrom, slot, chunk)-pinned",
+        )
+        p.add_argument(
+            "--perm-form",
+            choices=["broadcast", "matmul"],
+            default="broadcast",
+            help="arithmetic form of the xla chunk evaluator (identical "
+            "permutations; bench-mc inloop A/B decides per hardware)",
+        )
+        p.add_argument(
+            "--mc-stream",
+            choices=["shared", "window"],
+            default="shared",
+            help="permutation-stream design: shared = one genome-wide label "
+            "permutation per draw, shared by all windows (Westfall-Young "
+            "setup; ~250x faster on the MXU, batch/shard/resume-invariant "
+            "by construction); window = independent per-window streams "
+            "(round-3 design, required by --perm-backend native)",
+        )
 
     p = sub.add_parser("run-css", help="windowed Cluster Separation Score scan")
     _add_run_common(p)
-    p.add_argument(
-        "--mds",
-        choices=["cmds", "smacof", "cmds+smacof"],
-        default="cmds",
-    )
-    p.add_argument("--mc-threshold", type=int, default=10)
-    p.add_argument("--mc-runs", type=int, default=200_000)
-    p.add_argument("--mc-chunk", type=int, default=256)
-    p.add_argument(
-        "--p-mode",
-        choices=["mc", "approx"],
-        default="mc",
-        help="mc = reference-exact adaptive Monte-Carlo (default; the "
-        "fused genome-wide MC matches approx-mode wall time at genome "
-        "scale).  approx = Pearson-III moment fit from a few "
-        "permutation chunks — caps worst-case all-divergent latency, "
-        "but is ANTI-conservative in the extreme tail: p can read up "
-        "to ~4x smaller than the exact MC for true p <= 1e-3 "
-        "(measured: baseline/exp_approx_tail.py; docs/PARITY.md)",
-    )
-    p.add_argument("--drosophila", action="store_true")
-    p.add_argument(
-        "--perm-backend",
-        choices=["xla", "native"],
-        default="xla",
-        help="MC chunk evaluator: xla = device evaluator (shared-stream "
-        "MXU matmul by default, per-window threefry streams with "
-        "--mc-stream window); native = threaded C++ host evaluator "
-        "(window streams, per-window early exit — for CPU hosts)",
-    )
-    p.add_argument(
-        "--rng",
-        choices=["mix", "threefry"],
-        default="mix",
-        help="permutation draw stream (xla backend): mix = counter "
-        "expansion (faster), threefry = round-1 f32-uniform stream; "
-        "both (seed, chrom, slot, chunk)-pinned",
-    )
-    p.add_argument(
-        "--perm-form",
-        choices=["broadcast", "matmul"],
-        default="broadcast",
-        help="arithmetic form of the xla chunk evaluator (identical "
-        "permutations; bench-mc inloop A/B decides per hardware)",
-    )
-    p.add_argument(
-        "--mc-stream",
-        choices=["shared", "window"],
-        default="shared",
-        help="permutation-stream design: shared = one genome-wide label "
-        "permutation per draw, shared by all windows (Westfall-Young "
-        "setup; ~250x faster on the MXU, batch/shard/resume-invariant "
-        "by construction); window = independent per-window streams "
-        "(round-3 design, required by --perm-backend native)",
-    )
+    _add_css_args(p)
     p.set_defaults(fn=cmd_run_css)
+
+    p = sub.add_parser(
+        "run-all",
+        help="whole pipeline in one process: run-fet + run-css + both "
+        "region callers + HTML report (per-process tunnel constants and "
+        "the genotype upload are paid once; outputs byte-identical to "
+        "the staged subcommands)",
+    )
+    _add_run_common(p, with_out=False)
+    p.add_argument(
+        "--outdir", required=True,
+        help="output directory: fet.track, css.track, fet_regions.gtrack, "
+        "css_regions.gtrack, report.html, *_summary.json",
+    )
+    _add_fet_args(p)
+    _add_css_args(p)
+    p.add_argument("--max-distance", type=int, default=100_000)
+    p.add_argument("--norm-quantile", type=float, default=0.999)
+    p.add_argument("--stddev-percentile", type=float, default=75.0)
+    p.add_argument("--mode", choices=["fdr", "top"], default="fdr")
+    p.add_argument("--fdr", type=float, default=0.05)
+    p.add_argument("--num-top", type=int, default=100)
+    p.add_argument("--title", default="divergence_tpu run report")
+    p.set_defaults(fn=cmd_run_all)
 
     p = sub.add_parser(
         "report", help="self-contained HTML summary of score tracks/regions"

@@ -602,3 +602,67 @@ def test_partition_chromosomes_slot_ranges():
     a1 = partition_chromosomes(weights, 2, 1)
     assert {s for s in a0.seqids} | {s for s in a1.seqids} == set(weights)
     assert not (set(a0.seqids) & set(a1.seqids))
+
+
+def test_run_all_matches_staged_pipeline(toy_vcf, tmp_path):
+    """run-all (one process, one genome load/upload) writes tracks,
+    region calls, and report byte-identical to the staged subcommands
+    (VERDICT r4 #6; RNG streams are (seed, chrom, slot)-pinned)."""
+    tmp, vcf, sizes, anames, bnames = toy_vcf
+    outdir = tmp_path / "all"
+    cli_main(
+        [
+            "run-all",
+            "--pop-a", str(tmp / "popA.gtrack"),
+            "--pop-b", str(tmp / "popB.gtrack"),
+            "--outdir", str(outdir),
+            "--chrom-sizes", str(sizes),
+            "--mc-runs", "400",
+        ]
+    )
+    # staged equivalents (fet.track/css.track exist from the pipeline
+    # test; regenerate the region calls + report from those tracks)
+    staged = tmp_path / "staged"
+    staged.mkdir()
+    cli_main(
+        [
+            "filter-fet", "--scores", str(tmp / "fet.track"),
+            "--out", str(staged / "fet_regions.gtrack"),
+            "--chrom-sizes", str(sizes),
+        ]
+    )
+    # the staged css track was produced with default mc-runs; rerun the
+    # engine track with the same mc-runs as run-all for comparability
+    cli_main(
+        [
+            "run-css",
+            "--pop-a", str(tmp / "popA.gtrack"),
+            "--pop-b", str(tmp / "popB.gtrack"),
+            "--out", str(staged / "css.track"),
+            "--chrom-sizes", str(sizes),
+            "--mc-runs", "400",
+        ]
+    )
+    cli_main(
+        [
+            "call-css-regions", "--scores", str(staged / "css.track"),
+            "--out", str(staged / "css_regions.gtrack"),
+            "--chrom-sizes", str(sizes),
+        ]
+    )
+    assert (outdir / "fet.track").read_text() == (
+        tmp / "fet.track"
+    ).read_text()
+    assert (outdir / "css.track").read_text() == (
+        staged / "css.track"
+    ).read_text()
+    assert (outdir / "fet_regions.gtrack").read_text() == (
+        staged / "fet_regions.gtrack"
+    ).read_text()
+    assert (outdir / "css_regions.gtrack").read_text() == (
+        staged / "css_regions.gtrack"
+    ).read_text()
+    html = (outdir / "report.html").read_text()
+    assert "<html" in html and "chrT" in html
+    assert (outdir / "fet_summary.json").exists()
+    assert (outdir / "css_summary.json").exists()
