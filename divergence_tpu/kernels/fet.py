@@ -249,6 +249,56 @@ def fet_snp_logs(
     return jnp.take(lut, idx, axis=0)
 
 
+def _gather_windows_1d(values, lo, npos, P: int, L: int | None):
+    """[Bp, P] windowed gather from a per-SNP [N] array.
+
+    ``L = None``: direct ``jnp.take`` with [Bp, P] indices.  On TPU that
+    random-access gather is element-at-a-time and was measured as 83% of
+    the whole FET wall at chromosome-1 scale (round 5,
+    baseline/exp_fet_agg.py: gather 1.49s of a 1.80s aggregate).
+
+    ``L`` static: TWO-STAGE gather — window descriptors arrive in plan
+    order, so one map-slice's windows span a CONTIGUOUS range of the SNP
+    axis (~Bp * density * wstep + P elements).  One dynamic_slice copies
+    that span into a small local buffer (contiguous HBM read; the buffer
+    fits VMEM), and the per-window gather indexes the buffer instead of
+    the chromosome — measured 4.2x faster end-to-end
+    (baseline/exp_fet_agg.py two-stage A/B: 1.68s -> 0.40s).  ``base``
+    is clamped so the slice never runs off the array; pad rows
+    (npos == 0) clip to index 0 and are masked downstream.  Gathered
+    values are IDENTICAL, so results stay bit-identical."""
+    offs = jnp.arange(P, dtype=lo.dtype)[None, :]
+    if L is None:
+        idx = jnp.where(offs < npos[:, None], lo[:, None] + offs, 0)
+        return jnp.take(values, idx, axis=0)
+    N = values.shape[0]
+    base = jnp.minimum(lo[0], N - L)
+    local = jax.lax.dynamic_slice_in_dim(values, base, L)
+    idx = jnp.where(offs < npos[:, None], lo[:, None] - base + offs, 0)
+    idx = jnp.clip(idx, 0, L - 1)
+    return jnp.take(local, idx, axis=0)
+
+
+def slice_span_bound(
+    lo_valid: np.ndarray, n_valid: int, Bp: int, P: int, npadded: int
+) -> int | None:
+    """Static bound L for the two-stage gather: the max, over map
+    slices of ``Bp`` plan-ordered windows, of the SNP-index span the
+    slice touches (``lo[last] + P - lo[first]``), rounded to a power of
+    two.  None when the bound reaches the array itself (degenerate
+    plans — direct gather is then no worse)."""
+    if n_valid == 0:
+        return None
+    n_slices = -(-n_valid // Bp)
+    starts = np.arange(n_slices) * Bp
+    ends = np.minimum(starts + Bp, n_valid) - 1
+    spans = lo_valid[ends] + P - lo_valid[starts]
+    L = 32
+    while L < int(spans.max()):
+        L *= 2
+    return None if L >= npadded else L
+
+
 def lut_active(asize: int, bsize: int, npadded: int) -> bool:
     """Host-side mirror of :func:`fet_snp_logs`' static LUT switch: the
     per-table LUT pays off when the table grid is at most half the
@@ -299,7 +349,7 @@ def fet_snp_ranks_joint(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("Bp", "P", "perc", "nsamples", "fast")
+    jax.jit, static_argnames=("Bp", "P", "perc", "nsamples", "fast", "L")
 )
 def fet_aggregate_all_ranks(
     lut_sorted: jnp.ndarray,  # [G] ascending LUT values
@@ -311,19 +361,20 @@ def fet_aggregate_all_ranks(
     perc: float,
     nsamples: int,
     fast: bool = False,
+    L: int | None = None,     # static span bound for the two-stage gather
 ) -> jnp.ndarray:
     """Rank-space counterpart of :func:`fet_aggregate_all` (one device
     program per chromosome; same map-over-uniform-slices shape).
-    Returns [2, Bt] (scores, stddev), bit-identical to the float path."""
+    Returns [2, Bt] (scores, stddev), bit-identical to the float path.
+    ``L`` (slice_span_bound) switches the window gather to the two-stage
+    contiguous-slice form — 4.2x measured on TPU, values identical."""
     dtype = jnp.float32 if fast else jnp.float64
     nb = rows.shape[1] // Bp
 
     def one(start):
         r = jax.lax.dynamic_slice_in_dim(rows, start, Bp, axis=1)
         lo, npos, slot = r[0], r[1], r[2]
-        offs = jnp.arange(P, dtype=lo.dtype)[None, :]
-        idx = jnp.where(offs < npos[:, None], lo[:, None] + offs, 0)
-        wranks = jnp.take(ranks, idx, axis=0)          # [Bp, P] int32
+        wranks = _gather_windows_1d(ranks, lo, npos, P, L)  # [Bp, P] i32
         wkeys = slot_keys(key, slot)
         s, d = _aggregate_ranks(
             wranks, npos, float(perc), wkeys, nsamples, lut_sorted, dtype
@@ -395,7 +446,7 @@ def _aggregate_ranks(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("perc", "nsamples", "P", "fast")
+    jax.jit, static_argnames=("perc", "nsamples", "P", "fast", "L")
 )
 def fet_aggregate_windows(
     snp_logs: jnp.ndarray,    # [N] per-SNP -log10 p (fet_snp_logs)
@@ -407,18 +458,17 @@ def fet_aggregate_windows(
     nsamples: int,
     P: int,                   # static padded SNP count
     fast: bool = False,
+    L: int | None = None,     # static span bound for the two-stage gather
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Window percentile + bootstrap stddev over precomputed SNP logs."""
     dtype = jnp.float32 if fast else jnp.float64
-    offs = jnp.arange(P, dtype=lo.dtype)[None, :]
-    idx = jnp.where(offs < npos[:, None], lo[:, None] + offs, 0)
-    logs = jnp.take(snp_logs, idx, axis=0)       # [B, P]
+    logs = _gather_windows_1d(snp_logs, lo, npos, P, L)   # [B, P]
     wkeys = slot_keys(key, slot)
     return _aggregate(logs, npos, float(perc), wkeys, nsamples, dtype)
 
 
 @functools.partial(
-    jax.jit, static_argnames=("Bp", "P", "perc", "nsamples", "fast")
+    jax.jit, static_argnames=("Bp", "P", "perc", "nsamples", "fast", "L")
 )
 def fet_aggregate_all(
     snp_logs: jnp.ndarray,    # [N] per-SNP -log10 p (fet_snp_logs)
@@ -429,6 +479,7 @@ def fet_aggregate_all(
     perc: float,
     nsamples: int,
     fast: bool = False,
+    L: int | None = None,     # static span bound for the two-stage gather
 ) -> jnp.ndarray:
     """Every window of a chromosome in ONE device program: ``lax.map``
     over uniform [Bp] slices of the packed window descriptors, each
@@ -445,7 +496,7 @@ def fet_aggregate_all(
     def one(start):
         r = jax.lax.dynamic_slice_in_dim(rows, start, Bp, axis=1)
         s, d = fet_aggregate_windows(
-            snp_logs, r[0], r[1], r[2], perc, key, nsamples, P, fast
+            snp_logs, r[0], r[1], r[2], perc, key, nsamples, P, fast, L
         )
         return jnp.stack([s, d])
 

@@ -45,7 +45,9 @@ def _make_batch(rng, B, npos, asize, bsize):
     return av, bv, nposs
 
 
-def _time_step(step, sh, av, bv, nposs, repeats):
+def _time_step(step, sh, av, bv, nposs, repeats, timed_ctx=None):
+    import contextlib
+
     import jax
     import jax.numpy as jnp
 
@@ -70,10 +72,13 @@ def _time_step(step, sh, av, bv, nposs, repeats):
         return float(jax.device_get(chk))
 
     fetch(step(*args))                # compile + warm
-    t0 = time.perf_counter()
-    for _ in range(repeats):
-        fetch(step(*args))
-    return (time.perf_counter() - t0) / repeats
+    ctx = timed_ctx() if timed_ctx is not None else contextlib.nullcontext()
+    with ctx:  # e.g. baseline/ici_capture.py's no-compiles-while-timed guard
+        t0 = time.perf_counter()
+        for _ in range(repeats):
+            fetch(step(*args))
+        dt = (time.perf_counter() - t0) / repeats
+    return dt
 
 
 def run_scaling_bench(
@@ -86,6 +91,7 @@ def run_scaling_bench(
     nsamples: int = 25,
     mc_chunk: int = 128,
     repeats: int = 3,
+    timed_ctx=None,
 ) -> dict:
     import jax
 
@@ -112,7 +118,7 @@ def run_scaling_bench(
 
         B = windows_per_device * nd
         av, bv, nposs = _make_batch(rng, B, npos, asize, bsize)
-        dt = _time_step(step, sh, av, bv, nposs, repeats)
+        dt = _time_step(step, sh, av, bv, nposs, repeats, timed_ctx)
         weak.append(
             {
                 "devices": nd,
@@ -123,7 +129,7 @@ def run_scaling_bench(
         )
 
         av, bv, nposs = _make_batch(rng, total_windows, npos, asize, bsize)
-        dt = _time_step(step, sh, av, bv, nposs, repeats)
+        dt = _time_step(step, sh, av, bv, nposs, repeats, timed_ctx)
         strong.append(
             {
                 "devices": nd,

@@ -303,6 +303,12 @@ def test_rank_path_bit_identical(rng):
     npos = rng.integers(0, P + 1, size=B)  # include empty windows
     slot = rng.permutation(np.arange(50, 50 + B))
     rows = jnp.asarray(np.stack([lo, npos, slot]).astype(np.int64))
+    # plan-ordered variant (ascending lo) — the two-stage gather's
+    # contract (engine rows are always in plan order)
+    order = np.argsort(lo, kind="stable")
+    rows_sorted = jnp.asarray(
+        np.stack([lo[order], npos[order], slot[order]]).astype(np.int64)
+    )
     key = jax.random.PRNGKey(3)
 
     for fast in (False, True):
@@ -324,3 +330,19 @@ def test_rank_path_bit_identical(rng):
         ))
         assert (got == want).all()
         assert np.count_nonzero(got[0]) > 0
+        # two-stage gather (round 5): same values through a
+        # dynamic_slice + local gather — bit-identical at any valid L
+        for L in (kfet.slice_span_bound(
+            np.sort(lo), B, Bp, P, N
+        ), N // 2):
+            if L is None:
+                continue
+            got_l = np.asarray(kfet.fet_aggregate_all_ranks(
+                lut_sorted, ranks, rows_sorted, key, Bp=Bp, P=P,
+                perc=0.95, nsamples=40, fast=fast, L=L,
+            ))
+            want_l = np.asarray(kfet.fet_aggregate_all_ranks(
+                lut_sorted, ranks, rows_sorted, key, Bp=Bp, P=P,
+                perc=0.95, nsamples=40, fast=fast,
+            ))
+            assert (got_l == want_l).all()
