@@ -112,6 +112,23 @@ def main():
         print(f"[{stage}] {stages[stage]:.1f}s")
 
     w = str(workdir)
+
+    # --run-all: the single-process pipeline subcommand (round 5) — one
+    # genome load + one genotype upload + one process's tunnel constants
+    # for the whole fet/css/regions/report chain; outputs byte-identical
+    # to the staged path below (tests/test_cli.py)
+    if "--run-all" in sys.argv:
+        run("run-all", [
+            "run-all", "--pop-a", f"{w}/popA.gtrack",
+            "--pop-b", f"{w}/popB.gtrack",
+            "--outdir", w, "--chrom-sizes", f"{w}/chrom.sizes",
+            "--precision", "fast",
+        ])
+        total = sum(stages.values())
+        print(f"TOTAL {total:.1f}s  "
+              f"({', '.join(f'{k}={v:.1f}s' for k, v in stages.items())})")
+        return
+
     run("run-fet", [
         "run-fet", "--pop-a", f"{w}/popA.gtrack", "--pop-b", f"{w}/popB.gtrack",
         "--out", f"{w}/fet.track", "--chrom-sizes", f"{w}/chrom.sizes",
