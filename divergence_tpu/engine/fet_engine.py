@@ -66,12 +66,16 @@ def _fet_dispatch(
     nmax = pair.asize + pair.bsize + 2
     # per-SNP exact tests ONCE per chromosome; windows overlap
     # wsize/wstep-fold and gather from this array (kfet.fet_snp_logs).
-    # In the LUT regime the per-SNP value is carried as an int32 rank
-    # into the sorted LUT instead of a float, so the per-window sort and
-    # every order-statistic selection run in native int32 — in exact
-    # mode that lifts the largest aggregate term out of emulated f64
-    # with BIT-IDENTICAL results (kfet.fet_snp_ranks_joint).
-    use_ranks = kfet.lut_active(pair.asize, pair.bsize, vals_d.shape[0])
+    # EXACT mode in the LUT regime carries the per-SNP value as an int32
+    # rank into the sorted LUT, so the per-window sort and selection run
+    # in native int32 instead of emulated f64 — BIT-IDENTICAL results
+    # (kfet.fet_snp_ranks_joint).  FAST mode prefers the float path:
+    # its f32 sort costs the same as int32 and the one-hot bootstrap
+    # picks then need NO [B, S] lut-mapping gathers (each ~0.3s at
+    # chromosome-1 scale, round-5 decomposition).
+    use_ranks = cfg.precision != "fast" and kfet.lut_active(
+        pair.asize, pair.bsize, vals_d.shape[0]
+    )
     if use_ranks:
         lut_sorted, snp_ranks = kfet.fet_snp_ranks_joint(
             vals_d, pair.asize, maxs, nmax, fast=cfg.precision == "fast"

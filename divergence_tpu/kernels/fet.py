@@ -169,6 +169,28 @@ def _interp_ranks(npos: jnp.ndarray, perc: float, dtype=jnp.float64):
     return idx, hi_idx, delta
 
 
+def _pick_onehot(
+    sorted_asc: jnp.ndarray,  # [B, P] ascending (pads FIRST), finite
+    npos: jnp.ndarray,        # [B]
+    rank: jnp.ndarray,        # [B, S] 0-based order-statistic ranks
+) -> jnp.ndarray:
+    """:func:`_sorted_pick` as a one-hot MXU contraction — for the [B, S]
+    bootstrap picks, where a take_along_axis gather is element-at-a-time
+    on TPU (round-5 on-chip decomposition: the two [B, 100] pick gathers
+    cost ~0.6s at chromosome-1 scale; the one-hot einsum is ~free,
+    /tmp-exp recorded in docs/ROUND5.md).  The contraction is EXACT:
+    exactly one product is 1*v, the rest are 0*v = 0 for finite v — so
+    results are bit-identical to the gather as long as the operand holds
+    no infinities (callers sanitize pads; 0 * inf would be NaN).
+    Returns float32 picks (exact for f32 values and for int ranks below
+    2^24)."""
+    P = sorted_asc.shape[-1]
+    pos = (P - npos[..., None] + rank).astype(jnp.int32)
+    pos = jnp.clip(pos, 0, P - 1)
+    oh = jax.nn.one_hot(pos, P, dtype=jnp.float32)        # [B, S, P]
+    return jnp.einsum("bsp,bp->bs", oh, sorted_asc.astype(jnp.float32))
+
+
 def _sorted_pick(sorted_asc: jnp.ndarray, npos: jnp.ndarray, rank: jnp.ndarray):
     """Value of ascending order statistic ``rank`` (0-based, per window)
     from a padded ascending sort where the n valid values occupy the LAST
@@ -431,9 +453,20 @@ def _aggregate_ranks(
         r = jnp.ceil(nf * u) - 1.0
         return jnp.clip(r, 0.0, jnp.maximum(nf - 1.0, 0.0)).astype(jnp.int32)
 
-    x1 = value_at(rank_of(u1))                              # [B, S]
+    # bootstrap picks: one-hot MXU contraction over the int32 ranks
+    # (f32-exact below 2^24; the -1 pads are finite so no NaN hazard),
+    # then one lut map per pick set — the take_along_axis picks were
+    # ~1/3 of the FET wall on TPU (round-5 decomposition)
+    def lutmap(r):
+        return jnp.take(
+            lut_sorted, jnp.clip(r, 0, lut_sorted.shape[0] - 1), axis=0
+        )
+
+    r1 = _pick_onehot(r_sorted, npos, rank_of(u1)).astype(jnp.int32)
+    x1 = lutmap(r1)                                         # [B, S]
     same = (hi_idx == idx)[:, None]
-    x2 = jnp.where(same, x1, value_at(rank_of(u2)))
+    r2 = _pick_onehot(r_sorted, npos, rank_of(u2)).astype(jnp.int32)
+    x2 = jnp.where(same, x1, lutmap(r2))
     reps = (1.0 - delta[:, None]) * x1 + delta[:, None] * x2
     mu = jnp.mean(reps, axis=-1, keepdims=True)
     stddev = jnp.sqrt(jnp.mean((reps - mu) ** 2, axis=-1))
@@ -656,9 +689,21 @@ def _aggregate(
         r = jnp.ceil(nf * u) - 1.0
         return jnp.clip(r, 0.0, jnp.maximum(nf - 1.0, 0.0)).astype(jnp.int32)
 
-    x1 = _sorted_pick(logs_sorted, npos, rank_of(u1))       # [B, S]
-    same = (hi_idx == idx)[:, None]
-    x2 = jnp.where(same, x1, _sorted_pick(logs_sorted, npos, rank_of(u2)))
+    if dtype == jnp.float32:
+        # [B, S] picks as one-hot MXU contractions (bit-identical; the
+        # take_along_axis gather was ~1/3 of the FET wall on TPU).
+        # Sanitize the -inf pads first: 0 * inf = NaN in the contraction
+        # (valid windows never pick a pad position — end-anchored ranks)
+        safe = jnp.where(jnp.isfinite(logs_sorted), logs_sorted, dtype(0.0))
+        x1 = _pick_onehot(safe, npos, rank_of(u1))          # [B, S]
+        same = (hi_idx == idx)[:, None]
+        x2 = jnp.where(same, x1, _pick_onehot(safe, npos, rank_of(u2)))
+    else:
+        x1 = _sorted_pick(logs_sorted, npos, rank_of(u1))   # [B, S]
+        same = (hi_idx == idx)[:, None]
+        x2 = jnp.where(
+            same, x1, _sorted_pick(logs_sorted, npos, rank_of(u2))
+        )
     reps = (1.0 - delta[:, None]) * x1 + delta[:, None] * x2
     mu = jnp.mean(reps, axis=-1, keepdims=True)
     stddev = jnp.sqrt(jnp.mean((reps - mu) ** 2, axis=-1))
