@@ -54,13 +54,33 @@ def cmd_convert_snp_table(args) -> None:
 
 def _load_pairs(args):
     """Read both population tracks, align per chromosome, return
-    {seqid: (SnpPair, regend)} plus chromosome lengths if given."""
+    {seqid: (SnpPair, regend)} plus chromosome lengths if given.
+
+    The two tracks parse concurrently: the native parser is a ctypes
+    call (GIL released), so the second file's I/O overlaps the first's
+    parse threads."""
+    import threading
+
     from divergence_tpu.engine.snp import SnpPair
     from divergence_tpu.io import read_gtrack_points
     from divergence_tpu.io.genome import read_chrom_sizes
 
-    ta = read_gtrack_points(args.pop_a)
-    tb = read_gtrack_points(args.pop_b)
+    tracks: dict[str, object] = {}
+    errs: list[BaseException] = []
+
+    def _parse(key, path):
+        try:
+            tracks[key] = read_gtrack_points(path)
+        except BaseException as e:  # re-raised on the main thread
+            errs.append(e)
+
+    th = threading.Thread(target=_parse, args=("b", args.pop_b))
+    th.start()
+    _parse("a", args.pop_a)
+    th.join()
+    if errs:
+        raise errs[0]
+    ta, tb = tracks["a"], tracks["b"]
     sizes = read_chrom_sizes(args.chrom_sizes) if args.chrom_sizes else {}
     common = sorted(set(ta) & set(tb))
     if not common:
@@ -354,13 +374,34 @@ def cmd_run_all(args) -> None:
     from divergence_tpu.engine.css_engine import run_css_multi
     from divergence_tpu.engine.fet_engine import run_fet_multi
 
+    import threading
+
     outdir = Path(args.outdir)
     outdir.mkdir(parents=True, exist_ok=True)
+
+    # Backend handshake overlapped with the genome parse: the parse is
+    # ctypes C++ (GIL released), so the remote tunnel's first-touch cost
+    # (~1.5s good draw, docs/ROUND4.md §6) is hidden behind I/O instead
+    # of serialized after it.  Failures are swallowed here — the
+    # engine's own backend_init stage re-touches the device and reports
+    # the real error.
+    def _warm_backend():
+        try:
+            import jax
+            import jax.numpy as jnp
+
+            jax.device_get(jnp.zeros(1))
+        except Exception:
+            pass
+
+    warm = threading.Thread(target=_warm_backend, daemon=True)
+    warm.start()
 
     pairs, _ = _load_pairs(args)
     pairs, slot_ranges = _host_filter(pairs, args)
     sharding = _mesh_sharding(args)
     preloaded = (pairs, slot_ranges, sharding)
+    warm.join()
 
     def stage_args(cmd, out, summary):
         d = dict(vars(args))
