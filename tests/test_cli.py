@@ -666,3 +666,30 @@ def test_run_all_matches_staged_pipeline(toy_vcf, tmp_path):
     assert "<html" in html and "chrT" in html
     assert (outdir / "fet_summary.json").exists()
     assert (outdir / "css_summary.json").exists()
+
+
+def test_run_all_sharded_matches_unsharded(toy_vcf, tmp_path):
+    """run-all composes with --shard (window-axis GSPMD over the virtual
+    mesh): the sharding is passed once through the preloaded tuple and
+    both engines' tracks stay byte-identical (slot-pinned RNG)."""
+    tmp, vcf, sizes, anames, bnames = toy_vcf
+    outs = {}
+    for name, extra in (("plain", []), ("sharded", ["--shard"])):
+        outdir = tmp_path / name
+        cli_main(
+            [
+                "run-all",
+                "--pop-a", str(tmp / "popA.gtrack"),
+                "--pop-b", str(tmp / "popB.gtrack"),
+                "--outdir", str(outdir),
+                "--chrom-sizes", str(sizes),
+                "--mc-runs", "400",
+                *extra,
+            ]
+        )
+        outs[name] = outdir
+    for f in ("fet.track", "css.track", "fet_regions.gtrack",
+              "css_regions.gtrack"):
+        assert (outs["plain"] / f).read_text() == (
+            outs["sharded"] / f
+        ).read_text(), f
