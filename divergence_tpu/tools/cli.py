@@ -450,6 +450,21 @@ def cmd_run_all(args) -> None:
         engine_multi=run_css_multi, preloaded=preloaded,
     )
 
+    # Region thresholds are GENOME-WIDE statistics (the Burke limit's
+    # score median, BH-FDR's rank over all windows — stats/regions.py),
+    # so calling them on one host's partial track would silently produce
+    # wrong regions.  Under multi-host partitioning each host emits its
+    # track shards only; region calling runs once after merge-tracks.
+    if args.num_hosts > 1:
+        print(
+            f"multi-host shard {args.host_id}/{args.num_hosts}: wrote "
+            "track shards only (region thresholds are genome-wide "
+            "statistics).  After all hosts finish: merge-tracks the "
+            "fet/css shards, then filter-fet + call-css-regions + "
+            "report on the merged tracks."
+        )
+        return
+
     cmd_filter_fet(_ap.Namespace(
         scores=str(fet_track),
         out=str(outdir / "fet_regions.gtrack"),

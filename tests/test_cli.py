@@ -693,3 +693,51 @@ def test_run_all_sharded_matches_unsharded(toy_vcf, tmp_path):
         assert (outs["plain"] / f).read_text() == (
             outs["sharded"] / f
         ).read_text(), f
+
+
+def test_run_all_multihost_shards_skip_region_calling(toy_vcf, tmp_path):
+    """run-all under --num-hosts writes track shards ONLY: region
+    thresholds (Burke median, BH-FDR rank) are genome-wide statistics,
+    so calling them per-shard would be silently wrong.  Merged shards
+    equal the single-host run-all tracks."""
+    tmp, vcf, sizes, anames, bnames = toy_vcf
+    single = tmp_path / "single"
+    cli_main(
+        [
+            "run-all",
+            "--pop-a", str(tmp / "popA.gtrack"),
+            "--pop-b", str(tmp / "popB.gtrack"),
+            "--outdir", str(single),
+            "--chrom-sizes", str(sizes),
+            "--mc-runs", "400",
+        ]
+    )
+    shard_dirs = []
+    for h in range(2):
+        d = tmp_path / f"host{h}"
+        cli_main(
+            [
+                "run-all",
+                "--pop-a", str(tmp / "popA.gtrack"),
+                "--pop-b", str(tmp / "popB.gtrack"),
+                "--outdir", str(d),
+                "--chrom-sizes", str(sizes),
+                "--mc-runs", "400",
+                "--num-hosts", "2", "--host-id", str(h),
+            ]
+        )
+        # shards only — no region calls or report on partial data
+        assert not (d / "fet_regions.gtrack").exists()
+        assert not (d / "css_regions.gtrack").exists()
+        assert not (d / "report.html").exists()
+        shard_dirs.append(d)
+    for f in ("fet.track", "css.track"):
+        merged = tmp_path / f"merged_{f}"
+        cli_main(
+            [
+                "merge-tracks",
+                "--inputs", str(shard_dirs[0] / f), str(shard_dirs[1] / f),
+                "--out", str(merged),
+            ]
+        )
+        assert merged.read_text() == (single / f).read_text(), f
