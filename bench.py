@@ -436,9 +436,9 @@ def main() -> None:
             )
 
     # mid-scale chromosome: the round-2..4 FET workload (200k SNPs,
-    # 10 Mbp, seed 7) — kept byte-identical so css_chrom_scale_* and the
-    # exact-mode fields stay comparable across rounds now that the FET
-    # headline moved to chromosome-1 scale
+    # 10 Mbp, seed 7) — kept byte-identical so css_chrom_scale_* stays
+    # comparable across rounds now that the FET headline moved to
+    # chromosome-1 scale
     if not cpu_fallback:
         mpos_n, m_region = 200_000, 10_000_000
         mp, ma, mb = make_chromosome(mpos_n, m_region, asize, bsize, 7)
@@ -492,12 +492,16 @@ def main() -> None:
     # unmeasured while being the then-CLI default). ---
     e_runs = max(2, n_runs - 1)
     e_cfg = FetConfig(precision="exact")
-    m_plan = plan_windows(mpair.positions, m_region, w.wsize, w.wstep)
-    m_valid = m_plan.valid_mask()
-    m_tests = int(m_plan.npos[m_valid].sum())
+    # Exact FET runs on the HEADLINE chromosome-1-scale workload, not
+    # the mid-scale one: the fields are new in round 5 (no cross-round
+    # comparability to preserve) and at 0.2s wall the mid-scale figure
+    # was floor-dominated — the same defect VERDICT r4 weak #1 called
+    # out on the fast headline (the rank path keeps emulated f64 out of
+    # the sort/selection, so the exact wall stays ~2s here).
+    m_tests = n_tests
 
     def _fet_exact_once():
-        run_fet(mpair, m_region, e_cfg)
+        run_fet(pair, region, e_cfg)
 
     _fet_exact_once()  # warmup/compile
     fe_times = _timed_runs(_fet_exact_once, e_runs)
