@@ -118,11 +118,14 @@ def main():
     # for the whole fet/css/regions/report chain; outputs byte-identical
     # to the staged path below (tests/test_cli.py)
     if "--run-all" in sys.argv:
+        # --exact switches the whole pipeline to the reference-parity
+        # precision (default: fast, the production mode)
+        precision = "exact" if "--exact" in sys.argv else "fast"
         run("run-all", [
             "run-all", "--pop-a", f"{w}/popA.gtrack",
             "--pop-b", f"{w}/popB.gtrack",
             "--outdir", w, "--chrom-sizes", f"{w}/chrom.sizes",
-            "--precision", "fast",
+            "--precision", precision,
         ])
         total = sum(stages.values())
         print(f"TOTAL {total:.1f}s  "
