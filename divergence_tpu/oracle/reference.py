@@ -247,6 +247,81 @@ def fet_two_tailed_c_replica(f0: int, f1: int, f2: int, f3: int) -> float:
     return min(total, 1.0)
 
 
+_ULONG_MAX = 2**64 - 1
+
+
+def binomial_c_replica(n: int, k: int) -> int:
+    """Exact replica of the reference's 64-bit ``binomial``
+    (reference statistics/fisher/cFisher.c:256-283): the rosetta-code
+    incremental product with gcd reduction, returning **0 on the
+    'unavoidable overflow' path** when the running product cannot fit an
+    unsigned long even after reduction.  For valid 0 <= k <= n the true
+    binomial is >= 1, so a 0 return unambiguously means the compiled C
+    overflowed — the root cause of the reference's NaN/garbage FET
+    scores beyond ~64 counted alleles per table (found by the round-5
+    ``--big-panels`` fuzz lane).  Python ints are exact, and the C's
+    guards fire BEFORE any multiplication can wrap, so this replica is
+    bit-faithful."""
+    if k == 0 or k == n:
+        return 1
+    if k == 1:
+        return n
+    if k > n:
+        return 0
+    if k > n // 2:
+        k = n - k
+    result = 1
+    for i in range(1, k + 1):
+        if result >= _ULONG_MAX // n:
+            g = math.gcd(n, i)
+            n_red, i_red = n // g, i // g
+            g = math.gcd(result, i_red)
+            result //= g
+            i_red //= g
+            if result >= _ULONG_MAX // n_red:
+                return 0
+            result = result * n_red // i_red
+        else:
+            result = result * n // i
+        n -= 1
+    return result
+
+
+def _fet_p_c_overflows(a: int, b: int, c: int, d: int) -> bool:
+    """True when the reference's ``fet_p`` (reference
+    statistics/fisher/cFisher.c:473-483) evaluates a binomial that hits
+    the overflow->0 path for this table: its p comes out 0, inf, or NaN
+    and poisons every downstream recurrence of ``fet``."""
+    return (
+        binomial_c_replica(a + b, a) == 0
+        or binomial_c_replica(c + d, c) == 0
+        or binomial_c_replica(a + b + c + d, a + c) == 0
+    )
+
+
+def fet_c_binomial_overflows(f0: int, f1: int, f2: int, f3: int) -> bool:
+    """True when the reference's ``fet`` would compute EITHER of its two
+    ``fet_p`` call sites (P0 on the shifted table, P2 on the opposite
+    extreme, reference statistics/fisher/cFisher.c:417,438) through an
+    overflowing binomial — the table's reference p-value is then
+    garbage (0/inf/NaN) regardless of what the recurrences do with it.
+    Used by the differential fuzzer to attribute large-panel
+    reference-vs-framework mismatches (docs/PARITY.md deviation 1): the
+    framework's lgamma path has no such size limit."""
+    R1, R2 = f0 + f1, f2 + f3
+    C1, C2 = f0 + f2, f1 + f3
+    f = _shift_table([f0, f1, f2, f3])
+    a, b, c, d = f
+    if _fet_p_c_overflows(a, b, c, d):
+        return True
+    if R1 == R2 or C1 == C2:
+        return False
+    # the first-tail loop runs a to 0 before create_table
+    b, c, d, a = b + a, c + a, d - a, 0
+    f = _shift_table(_create_opposite_extreme([a, b, c, d]))
+    return _fet_p_c_overflows(f[0], f[1], f[2], f[3])
+
+
 class CRand48:
     """glibc rand48-family replica (nrand48/drand48 LCG:
     X' = (0x5DEECE66D X + 0xB) mod 2^48) — exact integer arithmetic, so

@@ -37,9 +37,12 @@ The helpers here (:func:`write_gtrack`, :func:`run_ref`,
 implementation — tests/test_ref_c_differential.py imports them.
 
 Run: ``python -m divergence_tpu.tools.fuzz_ref --trials 40 [--seed0 N]
-[--sparse] [--fast]``.  ``--fast`` adds the f32 engine lane (VERDICT r3
-item 9): the round-3 fast-mode NaN was found by manual driving because
-this fuzzer only compared exact-mode columns.
+[--sparse] [--fast] [--big-panels]``.  ``--fast`` adds the f32 engine
+lane (VERDICT r3 item 9): the round-3 fast-mode NaN was found by manual
+driving because this fuzzer only compared exact-mode columns.
+``--big-panels`` draws 20-110 individuals per population (round 5),
+straddling the FET LUT bound so the off-LUT path and large-m CSS are
+differentially tested against the compiled C, not just the oracle.
 """
 
 from __future__ import annotations
@@ -130,12 +133,17 @@ def run_ref(binary, fa, fb, dump, extra=(), env=None, aux=False):
     return rows[:, 1]
 
 
-def draw_trial(rng: np.random.Generator, dros: bool, sparse: bool = False):
+def draw_trial(rng: np.random.Generator, dros: bool, sparse: bool = False,
+               big: bool = False):
     """One fuzz trial's panel + geometry (the canonical draw sequence —
     tests replaying a specific trial, e.g. the tie-heavy t6, import
     this so the claim can't silently drift).  ``sparse`` widens the
     step draw to wstep in [50, 3*wsize] (non-overlapping sampling is
-    reference-legal); the default sequence is unchanged."""
+    reference-legal); ``big`` draws modern-resequencing panel sizes
+    (20..110 per population), straddling the FET LUT bound
+    (asize+1)(bsize+1) <= 1024 so the off-LUT path is differentially
+    exercised against the compiled C; the default sequence is
+    unchanged."""
     npos = int(rng.integers(30, 1500))
     region = int(npos * rng.integers(15, 100))
     wsize = int(rng.integers(200, 5000))
@@ -147,8 +155,9 @@ def draw_trial(rng: np.random.Generator, dros: bool, sparse: bool = False):
         amat = rng.uniform(0, 1, (npos, 1))
         bmat = rng.uniform(0, 1, (npos, 1))
     else:
-        asize = int(rng.integers(1, 14))
-        bsize = int(rng.integers(1, 14))
+        lo, top = (20, 111) if big else (1, 14)
+        asize = int(rng.integers(lo, top))
+        bsize = int(rng.integers(lo, top))
         conc = rng.choice(
             [np.array([3, 3, 1.5, .4]), np.array([1, 1, 1, 3]),
              np.array([8, 1, 1, 1])]
@@ -334,7 +343,16 @@ def _fast_fet_check(tag, stats, orc, compute_fet, run_fet, FetConfig, w,
             f"{tag}: FET fast zero-structure slot {i} "
             f"exact={eng_s[i]} fast={fast_s[i]}"
         )
-    bad = np.nonzero(~np.isclose(fast_s, eng_s, rtol=1e-3, atol=1e-5))[0]
+    # The f32 score's absolute roundoff grows with the support-scan
+    # length: a p = sum of O(m) point probs each carrying ~1e-7 relative
+    # error through f32 lgamma sums, so a p == 1 table can read 1 - m*eps
+    # and score ~1e-5 at m ~ 140 where exact scores -0.0 (observed:
+    # big-panels t8 a=49 b=88, fast 1.016e-5 vs exact -0.0).  Anchor the
+    # near-zero floor at the m=21-tuned 1e-5 and scale with m; scores of
+    # any significance are O(1), so the band stays ~4 orders below them.
+    m = pair.avals.shape[1] + pair.bvals.shape[1]
+    atol = max(1e-5, 1e-6 * m)
+    bad = np.nonzero(~np.isclose(fast_s, eng_s, rtol=1e-3, atol=atol))[0]
     if not len(bad):
         return
     tie_s, _ = compute_fet(
@@ -344,7 +362,7 @@ def _fast_fet_check(tag, stats, orc, compute_fet, run_fet, FetConfig, w,
     for i in bad:
         lo = min(eng_s[i], tie_s[i])
         hi = max(eng_s[i], tie_s[i])
-        if lo - 1e-3 * abs(lo) - 1e-5 <= fast_s[i] <= hi + 1e-3 * abs(hi) + 1e-5:
+        if lo - 1e-3 * abs(lo) - atol <= fast_s[i] <= hi + 1e-3 * abs(hi) + atol:
             stats["fet_fast_tie_windows"] += 1
         else:
             stats["bugs"].append(
@@ -420,7 +438,7 @@ def _fast_css_check(tag, stats, orc, run_css, CssConfig, w, pair, regend,
 
 
 def fuzz(trials: int, seed0: int, sparse: bool = False,
-         fast: bool = False) -> dict:
+         fast: bool = False, big: bool = False) -> dict:
     from divergence_tpu.config import CssConfig, FetConfig, WindowConfig
     from divergence_tpu.engine.css_engine import run_css
     from divergence_tpu.engine.fet_engine import run_fet
@@ -434,8 +452,8 @@ def fuzz(trials: int, seed0: int, sparse: bool = False,
     css_bin = BASELINE / "build" / "bench_ref_css"
 
     tmp = pathlib.Path(tempfile.mkdtemp(prefix="fuzzref_"))
-    stats = {"trials": 0, "fet_tie_windows": 0, "css_degenerate_windows": 0,
-             "workdir": str(tmp), "bugs": []}
+    stats = {"trials": 0, "fet_tie_windows": 0, "fet_overflow_windows": 0,
+             "css_degenerate_windows": 0, "workdir": str(tmp), "bugs": []}
     if fast:
         stats["fet_fast_tie_windows"] = 0
         stats["css_fast_degenerate_windows"] = 0
@@ -445,7 +463,7 @@ def fuzz(trials: int, seed0: int, sparse: bool = False,
         rng = np.random.default_rng(seed0 + trial)
         dros = trial % 6 == 5
         positions, amat, bmat, asize, bsize, wsize, wstep = draw_trial(
-            rng, dros, sparse=sparse
+            rng, dros, sparse=sparse, big=big
         )
         regend = int(positions[-1]) + 1
         if regend // wstep == 0:
@@ -486,9 +504,28 @@ def fuzz(trials: int, seed0: int, sparse: bool = False,
                     av, bv, apos, bpos, regend, wsize, wstep,
                     two_tailed=orc.fet_two_tailed_c_replica,
                 )
+
+                def _window_c_overflows(slot):
+                    # deviation 1: the reference's 64-bit binomial
+                    # returns 0 on overflow (>= ~64 counted alleles per
+                    # table), so its p for that SNP is 0/inf/NaN and the
+                    # window's score column is garbage; the framework's
+                    # lgamma path has no size limit.
+                    lo, hi = orc.window_bounds(
+                        positions, slot * wstep, slot * wstep + wsize
+                    )
+                    return any(
+                        orc.fet_c_binomial_overflows(
+                            *orc.fet_count(amat[k], bmat[k])
+                        )
+                        for k in range(lo, hi)
+                    )
+
                 for i in bad:
                     if np.isclose(ref[i], rep_s[i], rtol=1e-12, atol=1e-14):
                         stats["fet_tie_windows"] += 1  # deviation 7(b)
+                    elif _window_c_overflows(int(i)):
+                        stats["fet_overflow_windows"] += 1  # deviation 1
                     else:
                         stats["bugs"].append(
                             f"{tag}: FET slot {i} ref={ref[i]} "
@@ -564,6 +601,10 @@ def main(argv=None) -> int:
     ap.add_argument("--seed0", type=int, default=5000)
     ap.add_argument("--sparse", action="store_true",
                     help="widen the step draw to wstep <= 3*wsize")
+    ap.add_argument("--big-panels", action="store_true",
+                    help="draw 20..110 individuals per population "
+                    "(straddles the FET LUT bound; exercises the "
+                    "off-LUT path and large-m CSS vs the compiled C)")
     ap.add_argument("--fast", action="store_true",
                     help="add the precision='fast' (f32) engine lane: "
                     "NaN/zero-structure checks + tolerance-banded "
@@ -571,7 +612,7 @@ def main(argv=None) -> int:
                     "attributed to the f32 tie band / MDS degeneracy")
     args = ap.parse_args(argv)
     stats = fuzz(args.trials, args.seed0, sparse=args.sparse,
-                 fast=args.fast)
+                 fast=args.fast, big=args.big_panels)
     print(json.dumps(stats, indent=2))
     return 1 if stats["bugs"] else 0
 

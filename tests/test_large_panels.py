@@ -132,3 +132,31 @@ def test_lanes_jacobi_across_lane_boundary(rng, m):
         recon = vecs[b] @ np.diag(evals[b]) @ vecs[b].T
         np.testing.assert_allclose(recon, np.asarray(a)[b],
                                    atol=1e-8 * m)
+
+
+def test_binomial_c_replica_exact_and_overflow():
+    """The reference's 64-bit binomial returns 0 on unavoidable overflow
+    (reference statistics/fisher/cFisher.c:268-273) — its FET is garbage
+    beyond ~64 counted alleles per table, while the framework's lgamma
+    path has no size limit (docs/PARITY.md deviation 1).  Pin the
+    bit-faithful replica on both sides of the 2^64 boundary."""
+    import math
+
+    # exact wherever the true value fits an unsigned long
+    rng = np.random.default_rng(3)
+    for _ in range(500):
+        n = int(rng.integers(0, 68))
+        k = int(rng.integers(0, n + 1))
+        true = math.comb(n, k)
+        if true <= 2**64 - 1:
+            assert orc.binomial_c_replica(n, k) == true
+    # just-fits vs just-overflows at the boundary
+    assert orc.binomial_c_replica(67, 33) == math.comb(67, 33)
+    assert orc.binomial_c_replica(68, 34) == 0
+    assert orc.binomial_c_replica(128, 64) == 0
+    # a stickleback-scale table never overflows; a resequencing-scale
+    # table does — and the oracle still returns a finite correct p
+    assert not orc.fet_c_binomial_overflows(5, 6, 4, 7)
+    assert orc.fet_c_binomial_overflows(50, 58, 45, 47)
+    p = orc.fet_two_tailed(50, 58, 45, 47)
+    assert np.isfinite(p) and 0.0 < p <= 1.0
