@@ -230,19 +230,33 @@ def top2_eig(a: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
 
     Backend routing:
 
-    * **TPU (any dtype)**: the lane-major batched Jacobi
+    * **TPU f32, m <= 64**: the lane-major batched Jacobi
       (:func:`jacobi_eigh_lanes`).  XLA's batched ``eigh`` pads both
       m~21 matrix axes to 128-lane tiles and took 3.96s for 100k
       windows — ~95% of the whole CSS phase 1 (round-4 profile); the
-      lane-major Jacobi does the same solves ~25x faster.  For
-      emulated float64 it is additionally the only accurate option:
-      XLA's eigh runs its iteration at ~f32 accuracy (~2e-6 eigenvalue
-      error measured) and intermittently returns NaN eigenpairs for
-      well-conditioned inputs, while the Jacobi — pure arithmetic,
-      NaN-free by construction — delivers the full emulated-f64
-      accuracy that ``precision="exact"`` promises.
+      lane-major Jacobi does the same solves ~25x faster.
+    * **TPU f32, m > 64**: XLA's ``eigh``.  The Jacobi's full-array
+      rotation passes are O(m^3 B) HBM traffic and lose their layout
+      edge as m approaches the 128-lane tile (round-5 A/B at B=997:
+      m=64 0.16s vs 0.20s, m=96 0.76s vs 0.36s, m=128 2.8s vs 0.53s,
+      m=200 9.4s vs 1.2s — and eigh's top-2 error there is ~3e-6,
+      BETTER than the 7-sweep Jacobi's ~9e-6).
+    * **TPU emulated f64 (exact mode), any m**: the Jacobi — the only
+      accurate option: XLA's eigh runs its iteration at ~f32 accuracy
+      (~2e-6 eigenvalue error measured) and intermittently returns NaN
+      eigenpairs for well-conditioned inputs, while the Jacobi — pure
+      arithmetic, NaN-free by construction — delivers the full
+      emulated-f64 accuracy that ``precision="exact"`` promises.
     * **CPU**: LAPACK ``eigh`` (fast and exact there; also what the
       test suite exercises against the oracle)."""
+    if (
+        jax.default_backend() == "tpu"
+        and a.ndim == 3
+        and a.dtype == jnp.float32
+        and a.shape[-1] > 64
+    ):
+        w, v = jnp.linalg.eigh(a)      # ascending
+        return w[..., ::-1][..., :2], v[..., ::-1][..., :2]
     if jax.default_backend() == "tpu" and a.ndim == 3:
         # f32 reaches its roundoff in fewer sweeps (quadratic
         # convergence; 7 measured at ~2e-6 top-2 error for m=21, the
