@@ -12,6 +12,11 @@ Every mismatch is ATTRIBUTED automatically:
   (the bit-faithful replica of the C's IEEE op sequence).  If the
   replica matches the C, the mismatch is the C's own floating-point
   tie accident — docs/PARITY.md deviation 7(b) — not a framework bug.
+- FET large panels: a window whose tables provably hit the C's 64-bit
+  binomial overflow->0 path (:func:`oracle.reference
+  .fet_c_binomial_overflows`, re-running the C's gcd-reduction
+  algorithm in exact integers) is the reference emitting garbage
+  (deviation 1) — the framework's lgamma path has no size limit.
 - CSS: deviation 8's three sub-cases are detected mechanically — a
   degenerate 2nd/3rd eigenvalue of the double-centered matrix (retained
   2-D subspace solver-arbitrary), a mathematically-zero 2nd eigenvalue
