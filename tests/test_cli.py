@@ -695,6 +695,31 @@ def test_run_all_sharded_matches_unsharded(toy_vcf, tmp_path):
         ).read_text(), f
 
 
+def test_run_all_resume_parts(toy_vcf, tmp_path):
+    """--resume composes with run-all: each engine keeps its own
+    .parts directory under the outdir, a rerun resumes from both, and
+    the outputs stay byte-identical to the first run."""
+    tmp, vcf, sizes, anames, bnames = toy_vcf
+    outdir = tmp_path / "resall"
+    args = [
+        "run-all",
+        "--pop-a", str(tmp / "popA.gtrack"),
+        "--pop-b", str(tmp / "popB.gtrack"),
+        "--outdir", str(outdir),
+        "--chrom-sizes", str(sizes),
+        "--mc-runs", "400",
+        "--resume",
+    ]
+    cli_main(args)
+    first = {f: (outdir / f).read_text()
+             for f in ("fet.track", "css.track", "css_regions.gtrack")}
+    assert (outdir / "fet.track.parts" / "chrT.tsv").exists()
+    assert (outdir / "css.track.parts" / "chrT.tsv").exists()
+    cli_main(args)
+    for f, body in first.items():
+        assert (outdir / f).read_text() == body, f
+
+
 def test_run_all_multihost_shards_skip_region_calling(toy_vcf, tmp_path):
     """run-all under --num-hosts writes track shards ONLY: region
     thresholds (Burke median, BH-FDR rank) are genome-wide statistics,
