@@ -453,7 +453,20 @@ def css_gather_all(
         )
 
     starts = jnp.arange(nb, dtype=jnp.int32) * Bp
-    s, dist, valid = jax.lax.map(one, starts)
+    if not fast and not drosophila and asize + bsize > 64:
+        # XLA:TPU reproducibly KILLS the worker process compiling/running
+        # ``lax.map`` over this emulated-f64 large-m body (round 5,
+        # single-chip v5e: map over ONE [1024, 32, 200] slice faults
+        # while the identical body called directly completes; f32 and
+        # small-m f64 are unaffected).  Unroll the slice loop statically
+        # — still one jitted program; nb is small because Bp is
+        # element-budget-capped.
+        outs = [one(jnp.int32(i * Bp)) for i in range(nb)]
+        s = jnp.stack([o[0] for o in outs])
+        dist = jnp.stack([o[1] for o in outs])
+        valid = jnp.stack([o[2] for o in outs])
+    else:
+        s, dist, valid = jax.lax.map(one, starts)
     m = dist.shape[-1]
     return (
         s.reshape(nb * Bp),

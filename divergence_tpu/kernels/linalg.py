@@ -262,6 +262,28 @@ def top2_eig(a: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
         # convergence; 7 measured at ~2e-6 top-2 error for m=21, the
         # same as 10); f64 keeps the full budget
         sweeps = 7 if a.dtype == jnp.float32 else 10
+        B, m = a.shape[0], a.shape[-1]
+        # Emulated-f64 Jacobi at large m*m*B reproducibly CRASHES the
+        # TPU worker (round 5: [997, 200, 200] f64 kills the worker
+        # process both times; [128, 200, 200] and [997, 160, 160] run
+        # fine) — chunk the batch so each device program stays below
+        # the measured-safe footprint.  lax.map serializes the chunks;
+        # zero-padded tail matrices are inert (all rotations no-op).
+        if a.dtype != jnp.float32 and m > 64 and B * m * m > 8_000_000:
+            chunk = max(8, 1 << int(np.log2(max(8_000_000 // (m * m), 8))))
+            if B > chunk:
+                pad = (-B) % chunk
+                ap = jnp.pad(a, ((0, pad), (0, 0), (0, 0)))
+                ap = ap.reshape(-1, chunk, m, m)
+                w, v = jax.lax.map(
+                    lambda x: jacobi_eigh_lanes(x, sweeps=sweeps), ap
+                )
+                w = w.reshape(-1, m)[:B]
+                v = v.reshape(-1, m, m)[:B]
+                order = jnp.argsort(-w, axis=-1)[..., :2]
+                top_vals = jnp.take_along_axis(w, order, axis=-1)
+                vecs = jnp.take_along_axis(v, order[..., None, :], axis=-1)
+                return top_vals, vecs
         w, v = jacobi_eigh_lanes(a, sweeps=sweeps)    # unsorted
         order = jnp.argsort(-w, axis=-1)[..., :2]
         top_vals = jnp.take_along_axis(w, order, axis=-1)

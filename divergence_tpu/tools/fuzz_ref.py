@@ -227,7 +227,15 @@ def _window_mds_unstable(orc, amat, bmat, positions, start, wsize, mds,
     s = refined_score(x0)
     prng = np.random.default_rng(0)
     scale = float(np.max(np.abs(x0))) or 1.0
-    for _ in range(3):
+    # 8 draws, not 3: a bifurcated stress surface can send most nudges
+    # to the base basin and only occasionally cross — fuzz t45 (seed0
+    # 1000) scored -0.4696 on 4 of 5 draws at pert=1e-12 and -0.4383
+    # (the engine's basin) on the 5th, with the compiled C in a third
+    # basin at -0.567; 3 samples called that window "stable".  The
+    # window's spectrum was NOT degenerate (64% relative gap) — basin
+    # choice on such surfaces flips on sub-ulp init differences, which
+    # is exactly deviation 8(b).
+    for _ in range(8):
         s_pert = refined_score(
             x0 + prng.normal(size=x0.shape) * pert * scale
         )
