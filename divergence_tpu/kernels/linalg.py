@@ -222,6 +222,28 @@ def jacobi_eigh_lanes(
     return w, V
 
 
+@functools.partial(jax.jit, static_argnames=("sweeps", "chunk"))
+def jacobi_eigh_lanes_chunked(
+    a: jnp.ndarray, sweeps: int = 10, chunk: int = 128
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """:func:`jacobi_eigh_lanes` over batch chunks via ``lax.map``.
+
+    Result-identical to the unchunked call (each matrix's solve is
+    independent; zero-padded tail matrices are inert — every rotation
+    no-ops on them — and are sliced away).  Exists because XLA:TPU
+    kills the worker process on single emulated-f64 Jacobi programs
+    above ~32M matrix elements (round 5, BASELINE.md large-panel
+    envelope); the chunked form keeps each program below the
+    measured-safe footprint.  Backend-agnostic, so the pad/reshape
+    bookkeeping is CI-testable on CPU (tests/test_linalg.py)."""
+    B, m = a.shape[0], a.shape[-1]
+    pad = (-B) % chunk
+    ap = jnp.pad(a, ((0, pad), (0, 0), (0, 0)))
+    ap = ap.reshape(-1, chunk, m, m)
+    w, v = jax.lax.map(lambda x: jacobi_eigh_lanes(x, sweeps=sweeps), ap)
+    return w.reshape(-1, m)[:B], v.reshape(-1, m, m)[:B]
+
+
 def top2_eig(a: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Top-2 eigenpairs (descending) of a batch of symmetric matrices.
 
@@ -267,19 +289,12 @@ def top2_eig(a: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
         # TPU worker (round 5: [997, 200, 200] f64 kills the worker
         # process both times; [128, 200, 200] and [997, 160, 160] run
         # fine) — chunk the batch so each device program stays below
-        # the measured-safe footprint.  lax.map serializes the chunks;
-        # zero-padded tail matrices are inert (all rotations no-op).
+        # the measured-safe footprint.
         if a.dtype != jnp.float32 and m > 64 and B * m * m > 8_000_000:
             chunk = max(8, 1 << int(np.log2(max(8_000_000 // (m * m), 8))))
             if B > chunk:
-                pad = (-B) % chunk
-                ap = jnp.pad(a, ((0, pad), (0, 0), (0, 0)))
-                ap = ap.reshape(-1, chunk, m, m)
-                w, v = jax.lax.map(
-                    lambda x: jacobi_eigh_lanes(x, sweeps=sweeps), ap
-                )
-                w = w.reshape(-1, m)[:B]
-                v = v.reshape(-1, m, m)[:B]
+                w, v = jacobi_eigh_lanes_chunked(a, sweeps=sweeps,
+                                                 chunk=chunk)
                 order = jnp.argsort(-w, axis=-1)[..., :2]
                 top_vals = jnp.take_along_axis(w, order, axis=-1)
                 vecs = jnp.take_along_axis(v, order[..., None, :], axis=-1)
