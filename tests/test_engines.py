@@ -236,6 +236,27 @@ def test_css_prefix_budget_fallback(rng, monkeypatch):
     np.testing.assert_array_equal(p_pref, p_gath)
 
 
+def test_css_gather_unroll_large_m(rng, monkeypatch):
+    """The gather path's statically-unrolled slice loop (exact mode,
+    m > 64 — the lax.map-over-f64-body TPU worker-crash workaround,
+    round 5) produces the same scores/p as the prefix path on CPU."""
+    from divergence_tpu.engine import css_engine
+
+    npos, region = 120, 8_000
+    positions = np.sort(rng.choice(np.arange(1, region), npos, replace=False))
+    av = rng.choice([3.0, -3.0, 0.0], size=(npos, 40))
+    bv = rng.choice([3.0, -3.0, 0.0], size=(npos, 30))
+    pair = SnpPair(positions=positions, avals=av, bvals=bv)
+    cfg = CssConfig(window=WCFG, mc_runs=300, mc_chunk=128)
+
+    s_pref, p_pref = run_css(pair, region, cfg, seqid="chrZ")
+    monkeypatch.setattr(css_engine, "PREFIX_MAX_ELEMS", 1)
+    pair2 = SnpPair(positions=positions, avals=av, bvals=bv)
+    s_gath, p_gath = run_css(pair2, region, cfg, seqid="chrZ")
+    np.testing.assert_allclose(s_pref, s_gath, rtol=1e-9, atol=1e-12)
+    np.testing.assert_array_equal(p_pref, p_gath)
+
+
 def test_compact_int16_upload_identical(rng):
     """device_values(compact=True) uploads int16 for integral genotype
     codes; FET and CSS results are identical to the float upload (both
