@@ -95,19 +95,17 @@ def _fet_flops(n_snps: int, maxs: int, nsamples: int, n_windows: int,
     active ((asize+1)^2(bsize+1)^2 grid entries), else once per SNP; ~12
     flop-equivalents per support point (lgamma-sum terms, exp,
     compare-accumulate; transcendentals counted as 1).  fet_snp_logs'
-    static LUT switch compares against the PADDED chromosome length
-    (SnpPair.device_values pads the SNP axis to the next power of two,
-    min 8), so the mirror here must too — else the model charges the
-    wrong path for true counts in the band just past a power of two.
+    LUT switch is panel-static since round 5 (kernels/fet.py:lut_active
+    — chromosome-length-independent so host partitioning cannot flip
+    the branch); the model mirrors it through the same predicate.
     Per SNP: table counting (4 masked compare-reduces over asize+bsize
     genotypes) and the LUT gather.  Per window: an ascending sort
     (~2 P log2 P compare-swaps) and nsamples order-statistic bootstrap
     replicates (~8 ops each)."""
+    from divergence_tpu.kernels.fet import lut_active
+
     grid = (asize + 1) ** 2 * (bsize + 1) ** 2
-    padded = 8
-    while padded < n_snps:
-        padded *= 2
-    support_units = grid if 2 * grid <= padded else n_snps
+    support_units = grid if lut_active(asize, bsize) else n_snps
     support = support_units * maxs * 12.0
     count = n_snps * (asize + bsize) * 4.0 + n_snps
     sort = n_windows * avg_npos * np.log2(max(avg_npos, 2.0)) * 2.0

@@ -46,6 +46,9 @@ import numpy as np
 from divergence_tpu.kernels.perm import slot_keys
 
 
+_LUT_MAX_BUILD_OPS = 100_000_000
+
+
 def support_size(asize: int, bsize: int) -> int:
     """Static bound on the hypergeometric support after table shifting.
 
@@ -156,6 +159,83 @@ def fet_two_tailed(
     return jnp.where(total > 1.0 - snap, 1.0, total)
 
 
+def fet_two_tailed_neglog10(
+    tables: jnp.ndarray, maxs: int, nmax: int, dtype=jnp.float32
+) -> jnp.ndarray:
+    """``-log10`` of :func:`fet_two_tailed` computed WITHOUT ever
+    materializing ``p`` — the fast (f32) path's score function.
+
+    float32 ``p`` underflows at ~1e-38, which a large-panel divergent
+    table reaches (a 100v100 fully-divergent table has p ~ 1e-60), so
+    the exp-then-log round trip returned a +inf score whose bootstrap
+    handling then fabricated a finite stddev via the one-hot pick
+    sanitizer (round-5 review finding 2).  The score itself (~60) is
+    perfectly representable: a max-shifted log-sum-exp over the same
+    selected support keeps every per-SNP value finite and exact to f32
+    rounding.  Tie/snap semantics mirror :func:`fet_two_tailed`'s f32
+    band in log space (``log1p`` of the same tolerances); exact mode
+    keeps the linear-space function — its doubles match the reference
+    C's arithmetic, which computes p linearly
+    (reference statistics/fisher/cFisher.c:417-447)."""
+    lf = jnp.asarray(_log_factorials(nmax), dtype=dtype)
+
+    def lchoose(n, k):
+        ok = (k >= 0) & (k <= n) & (n >= 0)
+        kc = jnp.clip(k, 0, nmax)
+        nc = jnp.clip(n, 0, nmax)
+        val = lf[nc] - lf[kc] - lf[jnp.clip(nc - kc, 0, nmax)]
+        return jnp.where(ok, val, -jnp.inf)
+
+    f = tables
+    R1 = f[..., 0] + f[..., 1]
+    R2 = f[..., 2] + f[..., 3]
+    C1 = f[..., 0] + f[..., 2]
+    C2 = f[..., 1] + f[..., 3]
+    equal_margins = (R1 == R2) | (C1 == C2)
+
+    s = _shift_min_first(f)
+    a0 = s[..., 0]
+    r1 = s[..., 0] + s[..., 1]
+    r2 = s[..., 2] + s[..., 3]
+    c1 = s[..., 0] + s[..., 2]
+    n = r1 + r2
+    hi = jnp.minimum(r1, c1)
+
+    x = jnp.arange(maxs, dtype=jnp.int32)
+    shape = (1,) * f[..., 0].ndim + (maxs,)
+    x = x.reshape(shape)
+    r1e, r2e, c1e, ne = (t[..., None] for t in (r1, r2, c1, n))
+    logp = lchoose(r1e, x) + lchoose(r2e, c1e - x) - lchoose(ne, c1e)
+    valid = x <= hi[..., None]
+    logp = jnp.where(valid, logp, -jnp.inf)
+
+    logp0 = jnp.take_along_axis(logp, a0[..., None].astype(jnp.int32), axis=-1)
+    tie_rtol = 1e-12 if dtype == jnp.float64 else 1e-5
+    bad = (logp >= logp0 + dtype(np.log1p(-tie_rtol))) & valid
+    blocked = jnp.flip(
+        jnp.cumsum(jnp.flip(bad, axis=-1).astype(jnp.int32), axis=-1), axis=-1
+    )
+    sel1 = (x <= a0[..., None]) & valid
+    sel2 = (blocked == 0) & valid & (x > a0[..., None])
+    sel = jnp.where(equal_margins[..., None], sel1, sel1 | sel2)
+
+    # max-shifted log-sum-exp over the selected support (the observed
+    # table is always selected, so the max is finite)
+    lm = jnp.where(sel, logp, -jnp.inf)
+    M = jnp.max(lm, axis=-1, keepdims=True)
+    ssum = jnp.sum(jnp.where(sel, jnp.exp(lm - M), 0.0), axis=-1)
+    log_total = M[..., 0] + jnp.log(ssum)
+    log_total = log_total + jnp.where(
+        equal_margins, dtype(np.log(2.0)), dtype(0.0)
+    )
+
+    snap = 1e-12 if dtype == jnp.float64 else 1e-5
+    neglog10 = -log_total / dtype(np.log(10.0))
+    return jnp.where(
+        log_total > dtype(np.log1p(-snap)), dtype(0.0), neglog10
+    )
+
+
 def _interp_ranks(npos: jnp.ndarray, perc: float, dtype=jnp.float64):
     """(idx, hi_idx, delta) of the reference's interpolated percentile
     (reference statistics/fisher/cFisher.c:136-144): with ascending order statistics s[.],
@@ -212,6 +292,16 @@ def _table_grid(asize: int, bsize: int) -> np.ndarray:
     return g.reshape(4, -1).T
 
 
+def _neglog10_p(tables, maxs, nmax, dtype):
+    """Per-table score ``-log10 p`` in the requested precision: linear
+    f64 for exact mode (bit-parity with the C's doubles), log-space for
+    f32 (p underflows float32 at large panels; the score does not —
+    :func:`fet_two_tailed_neglog10`)."""
+    if dtype == jnp.float64:
+        return -jnp.log10(fet_two_tailed(tables, maxs, nmax, dtype=dtype))
+    return fet_two_tailed_neglog10(tables, maxs, nmax, dtype=dtype)
+
+
 @functools.partial(
     jax.jit, static_argnames=("asize", "maxs", "nmax", "fast")
 )
@@ -249,23 +339,28 @@ def fet_snp_logs(
     (:func:`fet_aggregate_windows`): ~5x less support-scan compute and a
     [B, P] gather instead of [B, P, asize+bsize] genotype gathers.
 
-    When the panel is small enough that the space of POSSIBLE 2x2
-    tables is much smaller than the chromosome ((asize+1)^2(bsize+1)^2,
-    17,424 for the 11+10 stickleback panel vs ~200k SNPs), the exact
-    test is evaluated once per possible table into a LUT and the
-    per-SNP work collapses to count + one gather — bit-identical
-    (same elementwise support-scan math, evaluated on the grid instead
-    of per SNP), ~N/G fewer transcendentals."""
+    When the panel is small enough that the possible-table LUT is cheap
+    to build ((asize+1)^2(bsize+1)^2 grid entries x the support scan;
+    17,424 x ~132 for the 11+10 stickleback panel), the exact test is
+    evaluated once per possible table and the per-SNP work collapses to
+    count + one gather (~N/G fewer transcendentals).
+
+    The switch is STATIC IN THE PANEL ONLY (round 5): it must not
+    depend on the chromosome length, because slot-range host
+    partitioning slices the SNP axis — an N-dependent switch could
+    evaluate the same table through differently-SHAPED programs on
+    different hosts, and XLA's shape-dependent vectorization makes the
+    f32 log-space score differ in the last ulp across shapes, breaking
+    the bit-identical-merge guarantee.  With a panel-only switch every
+    host of a run takes the same branch by construction."""
     dtype = jnp.float32 if fast else jnp.float64
     asize, bsize = avals.shape[-1], bvals.shape[-1]
-    N = avals.shape[0]
     A1, B1 = asize + 1, bsize + 1
-    G = A1 * A1 * B1 * B1
     tables = count_tables(avals, bvals)
-    if 2 * G > N:
-        return -jnp.log10(fet_two_tailed(tables, maxs, nmax, dtype=dtype))
+    if not lut_active(asize, bsize):
+        return _neglog10_p(tables, maxs, nmax, dtype)
     grid = jnp.asarray(_table_grid(asize, bsize))
-    lut = -jnp.log10(fet_two_tailed(grid, maxs, nmax, dtype=dtype))
+    lut = _neglog10_p(grid, maxs, nmax, dtype)
     t = tables
     idx = ((t[..., 0] * A1 + t[..., 1]) * B1 + t[..., 2]) * B1 + t[..., 3]
     return jnp.take(lut, idx, axis=0)
@@ -321,12 +416,26 @@ def slice_span_bound(
     return None if L >= npadded else L
 
 
-def lut_active(asize: int, bsize: int, npadded: int) -> bool:
-    """Host-side mirror of :func:`fet_snp_logs`' static LUT switch: the
-    per-table LUT pays off when the table grid is at most half the
-    (padded) chromosome length."""
+def lut_active(asize: int, bsize: int, npadded: int = 0) -> bool:
+    """Host-side mirror of :func:`fet_snp_logs`' static LUT switch.
+
+    Panel-only since round 5 (``npadded`` is accepted for API
+    compatibility and ignored): the switch must not depend on the
+    chromosome length or slot-range host partitioning could route the
+    same table through differently-shaped programs (see
+    :func:`fet_snp_logs`).  The bound caps the one-off LUT build at
+    ~1e8 support-scan ops — trivial against the per-SNP work it
+    replaces at any chromosome size."""
     grid = (asize + 1) ** 2 * (bsize + 1) ** 2
-    return 2 * grid <= npadded
+    # the G < 2^24 term guards the rank path's exactness: int32 LUT
+    # ranks round-trip through float32 in the one-hot pick contraction
+    # (:func:`_pick_onehot`), which is exact only below 2^24 (round-5
+    # review finding 3) — beyond it both the rank and float LUT paths
+    # fall back to the direct per-SNP scan
+    return (
+        grid * support_size(asize, bsize) <= _LUT_MAX_BUILD_OPS
+        and grid < (1 << 24)
+    )
 
 
 @functools.partial(
@@ -359,7 +468,7 @@ def fet_snp_ranks_joint(
     A1, B1 = asize + 1, bsize + 1
     G = A1 * A1 * B1 * B1
     grid = jnp.asarray(_table_grid(asize, bsize))
-    lut = -jnp.log10(fet_two_tailed(grid, maxs, nmax, dtype=dtype))
+    lut = _neglog10_p(grid, maxs, nmax, dtype)
     order = jnp.argsort(lut)
     lut_sorted = jnp.take(lut, order, axis=0)
     rank_of_entry = jnp.zeros((G,), jnp.int32).at[order].set(
@@ -570,8 +679,7 @@ def fet_window_batch(
     order, and all rank arithmetic offsets past them."""
     dtype = jnp.float32 if fast else jnp.float64
     tables = count_tables(avals, bvals)          # [B, P, 4]
-    pvals = fet_two_tailed(tables, maxs, nmax, dtype=dtype)   # [B, P]
-    logs = -jnp.log10(pvals)
+    logs = _neglog10_p(tables, maxs, nmax, dtype)            # [B, P]
     if slot is None:
         slot = jnp.arange(npos.shape[0])
     wkeys = slot_keys(key, slot)
@@ -693,7 +801,13 @@ def _aggregate(
         # [B, S] picks as one-hot MXU contractions (bit-identical; the
         # take_along_axis gather was ~1/3 of the FET wall on TPU).
         # Sanitize the -inf pads first: 0 * inf = NaN in the contraction
-        # (valid windows never pick a pad position — end-anchored ranks)
+        # (valid windows never pick a pad position — end-anchored ranks).
+        # The only non-finite entries ARE pads: f32 per-SNP scores come
+        # from the log-space path (fet_two_tailed_neglog10), which is
+        # finite for every table — the exp-then-log form could underflow
+        # p to 0 at large panels and emit a legit +inf here, which this
+        # where() would have silently rewritten to 0 in the bootstrap
+        # (round-5 review finding 2)
         safe = jnp.where(jnp.isfinite(logs_sorted), logs_sorted, dtype(0.0))
         x1 = _pick_onehot(safe, npos, rank_of(u1))          # [B, S]
         same = (hi_idx == idx)[:, None]

@@ -123,12 +123,30 @@ def partition_chromosomes(
     assign: list[list[tuple[str, int, int]]] = [
         [] for _ in range(num_processes)
     ]
+    # Invariant: each host holds AT MOST ONE contiguous range per
+    # chromosome.  Same-chromosome pieces have equal weight, so the
+    # (-w, seqid, lo) sort assigns them consecutively in slot order; a
+    # host may take a piece only if it holds none of that chromosome or
+    # its held range ends exactly where this piece starts (the chain
+    # then merges below).  Unconstrained argmin could hand one host two
+    # NON-adjacent pieces — a shape `_host_filter`'s one-range-per-
+    # chromosome contract cannot represent, silently dropping the first
+    # range's windows (round-5 review finding, reproduced with 3 hosts
+    # over weights {20, 2, 7}).  Eligibility is never empty: pieces
+    # arrive in slot order, so the host holding the immediately
+    # preceding piece always qualifies.
+    last_hi: dict[tuple[int, str], int] = {}
     for w, seqid, lo, hi in sorted(
         pieces, key=lambda p: (-p[0], p[1], p[2])
     ):
-        h = int(np.argmin(loads))
+        eligible = [
+            h for h in range(num_processes)
+            if (h, seqid) not in last_hi or last_hi[(h, seqid)] == lo
+        ]
+        h = min(eligible, key=lambda i: (loads[i], i))
         loads[h] += w
         assign[h].append((seqid, lo, hi))
+        last_hi[(h, seqid)] = hi
 
     # merge contiguous same-chromosome ranges that landed on this host
     mine = sorted(assign[process_id])

@@ -121,6 +121,15 @@ def _host_filter(pairs, args):
     )
     out, slot_ranges = {}, {}
     for wr in assignment.ranges:
+        # partition_chromosomes guarantees at most one (merged) range
+        # per chromosome per host; this dict-based plumbing cannot
+        # represent more, so refuse loudly rather than silently keeping
+        # only the last range (= dropping windows from the genome)
+        if wr.seqid in out:
+            raise AssertionError(
+                f"host {args.host_id}: multiple ranges for {wr.seqid} — "
+                "partitioner invariant violated"
+            )
         pair, regend = pairs[wr.seqid]
         if wr.covers(nslots[wr.seqid]):
             out[wr.seqid] = (pair, regend)

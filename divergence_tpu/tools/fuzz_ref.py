@@ -473,6 +473,16 @@ def fuzz(trials: int, seed0: int, sparse: bool = False,
         stats["css_fast_trajectory_windows"] = 0
 
     for trial in range(trials):
+        if trial and trial % 25 == 0:
+            # every trial draws fresh shapes, so XLA:CPU's in-process
+            # executable cache grows without bound — a 150-trial
+            # campaign died of host OOM at trial ~132 ("LLVM
+            # compilation error: Cannot allocate memory", rc=139).
+            # Dropping the caches bounds RSS; correctness is unaffected
+            # (shapes rarely repeat across trials anyway).
+            import jax
+
+            jax.clear_caches()
         rng = np.random.default_rng(seed0 + trial)
         dros = trial % 6 == 5
         positions, amat, bmat, asize, bsize, wsize, wstep = draw_trial(

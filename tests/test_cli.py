@@ -597,6 +597,26 @@ def test_partition_chromosomes_slot_ranges():
         assert ivs[-1][1] >= n
     # the big chromosome was actually split
     assert len(got["big"]) == 4
+    # at most ONE merged range per chromosome per host — the engines'
+    # slot_ranges dict cannot represent more, and an unconstrained
+    # greedy assignment DID produce two non-adjacent ranges for one
+    # host, silently dropping the first range's windows (round-5
+    # review finding; repro: 3 hosts over weights {20, 2, 7})
+    w2 = {"chrA": 20, "chrY": 2, "chrX": 7}
+    n2 = {"chrA": 1000, "chrY": 300, "chrX": 100}
+    cov = {}
+    for h in range(3):
+        a = partition_chromosomes(w2, 3, h, seqid_nslots=n2)
+        per = {}
+        for r in a.ranges:
+            per.setdefault(r.seqid, []).append((r.slot_lo, r.slot_hi))
+            cov.setdefault(r.seqid, []).append((r.slot_lo, r.slot_hi))
+        assert all(len(v) == 1 for v in per.values()), (h, per)
+    for seqid, n in n2.items():
+        ivs = sorted(cov[seqid])
+        assert ivs[0][0] == 0 and ivs[-1][1] >= n
+        for (al, ah), (bl, bh) in zip(ivs, ivs[1:]):
+            assert ah == bl
     # chromosome-granular mode unchanged (no nslots)
     a0 = partition_chromosomes(weights, 2, 0)
     a1 = partition_chromosomes(weights, 2, 1)

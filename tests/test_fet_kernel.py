@@ -250,10 +250,32 @@ def test_snp_logs_lut_path_bit_identical(rng):
             jnp.asarray(av), jnp.asarray(bv), maxs, nmax, fast=fast
         )
         tables = kfet.count_tables(jnp.asarray(av), jnp.asarray(bv))
-        direct = -jnp.log10(
-            kfet.fet_two_tailed(tables, maxs, nmax, dtype=dtype)
-        )
-        assert (np.asarray(got) == np.asarray(direct)).all()
+        # the per-precision score function (linear f64 / log-space f32,
+        # round 5 — the f32 variant never materializes p, so large-panel
+        # underflow can't poison it)
+        direct = kfet._neglog10_p(tables, maxs, nmax, dtype)
+        if not fast:
+            # f64: bitwise — the exact-parity anchor
+            assert (np.asarray(got) == np.asarray(direct)).all()
+        else:
+            # f32: the log-space score's reductions vectorize
+            # differently for the [G] grid vs the [N] per-SNP shape
+            # (last-ulp); the switch being panel-STATIC means only one
+            # branch ever runs for a given panel, so cross-branch
+            # bitwise identity is not load-bearing — roundoff agreement
+            # is the invariant
+            np.testing.assert_allclose(
+                np.asarray(got), np.asarray(direct), rtol=1e-6, atol=1e-7
+            )
+        # f32 log-space agrees with the f64 linear reference within the
+        # fast-mode band wherever both are finite and away from ties
+        if fast:
+            ref = -jnp.log10(
+                kfet.fet_two_tailed(tables, maxs, nmax, dtype=jnp.float64)
+            )
+            np.testing.assert_allclose(
+                np.asarray(got), np.asarray(ref), rtol=2e-5, atol=2e-5
+            )
 
 
 def test_bootstrap_stddev_batching_invariant(rng):

@@ -160,3 +160,38 @@ def test_binomial_c_replica_exact_and_overflow():
     assert orc.fet_c_binomial_overflows(50, 58, 45, 47)
     p = orc.fet_two_tailed(50, 58, 45, 47)
     assert np.isfinite(p) and 0.0 < p <= 1.0
+
+
+def test_fast_mode_no_underflow_at_extreme_tables():
+    """A fully-divergent large-panel table has p ~ 1e-60 — below f32's
+    ~1e-38 underflow.  The f32 score path computes -log10 p in log space
+    (round-5 review finding 2: the exp-then-log form returned +inf, and
+    the one-hot bootstrap's pad sanitizer then fabricated a finite
+    stddev).  The score must be large, FINITE, and within the fast band
+    of the f64 reference; the engine's stddev must be finite too."""
+    a, b = 100, 100
+    npos = 40
+    positions = np.arange(1, npos + 1) * 50
+    amat = np.full((npos, a), 3.0)
+    bmat = np.full((npos, b), -3.0)
+    # engine level: extreme window, fast mode
+    pair = SnpPair(positions=positions, avals=amat, bvals=bmat)
+    cfg = FetConfig(window=WCFG, bootstrap_samples=16, precision="fast")
+    s, sd = run_fet(pair, 4_000, cfg)
+    nz = s != 0
+    assert nz.any()
+    assert np.isfinite(s[nz]).all(), s[nz]
+    assert np.isfinite(sd[nz]).all(), sd[nz]
+    # kernel level: the per-SNP f32 score equals the f64 one in band
+    maxs = kfet.support_size(a, b)
+    nmax = 2 * (a + b) + 2
+    tables = kfet.count_tables(jnp.asarray(amat), jnp.asarray(bmat))
+    f32 = np.asarray(
+        kfet.fet_two_tailed_neglog10(tables, maxs, nmax, jnp.float32)
+    )
+    f64 = np.asarray(
+        -jnp.log10(kfet.fet_two_tailed(tables, maxs, nmax, jnp.float64))
+    )
+    assert np.isfinite(f32).all()
+    assert (f32 > 38).all()  # beyond what linear f32 could represent
+    np.testing.assert_allclose(f32, f64, rtol=1e-5)
