@@ -89,14 +89,16 @@ def _shift_min_first(f: jnp.ndarray) -> jnp.ndarray:
     )
 
 
-def fet_two_tailed(
-    tables: jnp.ndarray, maxs: int, nmax: int, dtype=jnp.float64
-) -> jnp.ndarray:
-    """Two-tailed FET p for a batch of 2x2 tables.
-
-    ``tables``: [..., 4] int32; ``maxs``: static support bound;
-    ``nmax``: static max total count (for the log-factorial table).
-    Returns [...] p-values in ``dtype``, Zar-shortcut semantics."""
+def _support_logp(tables, maxs, nmax, dtype):
+    """Shared support-scan prelude of :func:`fet_two_tailed` and
+    :func:`fet_two_tailed_neglog10` — the table normalization, margin
+    test, and per-support-point log point probabilities (single source
+    of truth; the round-2 tie-rule fix showed how costly a silent
+    desynchronization of duplicated scan logic would be).  Returns
+    ``(x, logp, valid, a0, equal_margins)`` with ``logp`` unmasked
+    (``-inf`` only at impossible cell combinations); the two reducers
+    keep their own tie rules — the linear path compares p in the C's
+    own domain, the log-space path compares logp."""
     lf = jnp.asarray(_log_factorials(nmax), dtype=dtype)
 
     def lchoose(n, k):
@@ -127,6 +129,20 @@ def fet_two_tailed(
     r1e, r2e, c1e, ne = (t[..., None] for t in (r1, r2, c1, n))
     logp = lchoose(r1e, x) + lchoose(r2e, c1e - x) - lchoose(ne, c1e)
     valid = x <= hi[..., None]
+    return x, logp, valid, a0, equal_margins
+
+
+def fet_two_tailed(
+    tables: jnp.ndarray, maxs: int, nmax: int, dtype=jnp.float64
+) -> jnp.ndarray:
+    """Two-tailed FET p for a batch of 2x2 tables.
+
+    ``tables``: [..., 4] int32; ``maxs``: static support bound;
+    ``nmax``: static max total count (for the log-factorial table).
+    Returns [...] p-values in ``dtype``, Zar-shortcut semantics."""
+    x, logp, valid, a0, equal_margins = _support_logp(
+        tables, maxs, nmax, dtype
+    )
     p = jnp.where(valid, jnp.exp(logp), 0.0)
 
     p0 = jnp.take_along_axis(p, a0[..., None].astype(jnp.int32), axis=-1)
@@ -177,36 +193,9 @@ def fet_two_tailed_neglog10(
     keeps the linear-space function — its doubles match the reference
     C's arithmetic, which computes p linearly
     (reference statistics/fisher/cFisher.c:417-447)."""
-    lf = jnp.asarray(_log_factorials(nmax), dtype=dtype)
-
-    def lchoose(n, k):
-        ok = (k >= 0) & (k <= n) & (n >= 0)
-        kc = jnp.clip(k, 0, nmax)
-        nc = jnp.clip(n, 0, nmax)
-        val = lf[nc] - lf[kc] - lf[jnp.clip(nc - kc, 0, nmax)]
-        return jnp.where(ok, val, -jnp.inf)
-
-    f = tables
-    R1 = f[..., 0] + f[..., 1]
-    R2 = f[..., 2] + f[..., 3]
-    C1 = f[..., 0] + f[..., 2]
-    C2 = f[..., 1] + f[..., 3]
-    equal_margins = (R1 == R2) | (C1 == C2)
-
-    s = _shift_min_first(f)
-    a0 = s[..., 0]
-    r1 = s[..., 0] + s[..., 1]
-    r2 = s[..., 2] + s[..., 3]
-    c1 = s[..., 0] + s[..., 2]
-    n = r1 + r2
-    hi = jnp.minimum(r1, c1)
-
-    x = jnp.arange(maxs, dtype=jnp.int32)
-    shape = (1,) * f[..., 0].ndim + (maxs,)
-    x = x.reshape(shape)
-    r1e, r2e, c1e, ne = (t[..., None] for t in (r1, r2, c1, n))
-    logp = lchoose(r1e, x) + lchoose(r2e, c1e - x) - lchoose(ne, c1e)
-    valid = x <= hi[..., None]
+    x, logp, valid, a0, equal_margins = _support_logp(
+        tables, maxs, nmax, dtype
+    )
     logp = jnp.where(valid, logp, -jnp.inf)
 
     logp0 = jnp.take_along_axis(logp, a0[..., None].astype(jnp.int32), axis=-1)
@@ -268,7 +257,27 @@ def _pick_onehot(
     pos = (P - npos[..., None] + rank).astype(jnp.int32)
     pos = jnp.clip(pos, 0, P - 1)
     oh = jax.nn.one_hot(pos, P, dtype=jnp.float32)        # [B, S, P]
-    return jnp.einsum("bsp,bp->bs", oh, sorted_asc.astype(jnp.float32))
+    # Precision.HIGHEST pins the contraction to full f32 products: the
+    # exactness argument (1*v + 0*...) assumes the value operand is not
+    # rounded by a lower-precision MXU pass.  Empirically the default
+    # already matches bitwise on this hardware/jax (round-5 A/B:
+    # TPU exact-mode stddev == CPU to 3e-14, HIGHEST costs nothing —
+    # 24.2ms vs 24.6ms at [4096, 100, 128]), but the default is an XLA
+    # policy that can change under us; the claim must not depend on it.
+    return jnp.einsum(
+        "bsp,bp->bs", oh, sorted_asc.astype(jnp.float32),
+        precision=jax.lax.Precision.HIGHEST,
+    )
+
+
+def _onehot_pick_fits(B: int, S: int, P: int) -> bool:
+    """Static memory gate for :func:`_pick_onehot`: the one-hot
+    materializes a [B, S, P] f32 tensor (~537 MB at the 1<<27 bound) —
+    a large-padded-P geometry (sparse sampling, dense chromosomes) with
+    the 4096-window slices would OOM where the element-at-a-time gather
+    runs fine (round-5 review finding 3).  Production shapes (P=64-128,
+    S=100, B<=4096) sit ~2 orders below the bound."""
+    return B * S * P <= (1 << 27)
 
 
 def _sorted_pick(sorted_asc: jnp.ndarray, npos: jnp.ndarray, rank: jnp.ndarray):
@@ -571,10 +580,15 @@ def _aggregate_ranks(
             lut_sorted, jnp.clip(r, 0, lut_sorted.shape[0] - 1), axis=0
         )
 
-    r1 = _pick_onehot(r_sorted, npos, rank_of(u1)).astype(jnp.int32)
+    pick = (
+        _pick_onehot
+        if _onehot_pick_fits(r_sorted.shape[0], nsamples, r_sorted.shape[-1])
+        else _sorted_pick
+    )
+    r1 = pick(r_sorted, npos, rank_of(u1)).astype(jnp.int32)
     x1 = lutmap(r1)                                         # [B, S]
     same = (hi_idx == idx)[:, None]
-    r2 = _pick_onehot(r_sorted, npos, rank_of(u2)).astype(jnp.int32)
+    r2 = pick(r_sorted, npos, rank_of(u2)).astype(jnp.int32)
     x2 = jnp.where(same, x1, lutmap(r2))
     reps = (1.0 - delta[:, None]) * x1 + delta[:, None] * x2
     mu = jnp.mean(reps, axis=-1, keepdims=True)
@@ -797,7 +811,9 @@ def _aggregate(
         r = jnp.ceil(nf * u) - 1.0
         return jnp.clip(r, 0.0, jnp.maximum(nf - 1.0, 0.0)).astype(jnp.int32)
 
-    if dtype == jnp.float32:
+    if dtype == jnp.float32 and _onehot_pick_fits(
+        logs_sorted.shape[0], nsamples, logs_sorted.shape[-1]
+    ):
         # [B, S] picks as one-hot MXU contractions (bit-identical; the
         # take_along_axis gather was ~1/3 of the FET wall on TPU).
         # Sanitize the -inf pads first: 0 * inf = NaN in the contraction

@@ -291,14 +291,17 @@ def top2_eig(a: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
         # fine) — chunk the batch so each device program stays below
         # the measured-safe footprint.
         if a.dtype != jnp.float32 and m > 64 and B * m * m > 8_000_000:
-            chunk = max(8, 1 << int(np.log2(max(8_000_000 // (m * m), 8))))
-            if B > chunk:
-                w, v = jacobi_eigh_lanes_chunked(a, sweeps=sweeps,
-                                                 chunk=chunk)
-                order = jnp.argsort(-w, axis=-1)[..., :2]
-                top_vals = jnp.take_along_axis(w, order, axis=-1)
-                vecs = jnp.take_along_axis(v, order[..., None, :], axis=-1)
-                return top_vals, vecs
+            # chunk = the largest batch whose m*m*chunk stays under the
+            # measured-safe footprint; floor 1 (a floor of 8 could put
+            # the per-program footprint back over the bound for m in
+            # the ~1000+ range — round-5 review finding 5).  B <= chunk
+            # is impossible here: chunk*m^2 <= 8M < B*m^2.
+            chunk = max(1, 8_000_000 // (m * m))
+            w, v = jacobi_eigh_lanes_chunked(a, sweeps=sweeps, chunk=chunk)
+            order = jnp.argsort(-w, axis=-1)[..., :2]
+            top_vals = jnp.take_along_axis(w, order, axis=-1)
+            vecs = jnp.take_along_axis(v, order[..., None, :], axis=-1)
+            return top_vals, vecs
         w, v = jacobi_eigh_lanes(a, sweeps=sweeps)    # unsorted
         order = jnp.argsort(-w, axis=-1)[..., :2]
         top_vals = jnp.take_along_axis(w, order, axis=-1)

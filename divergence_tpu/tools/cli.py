@@ -243,9 +243,22 @@ def _run_engine(args, engine, cfg, columns, engine_multi=None,
 
     def _finish_chrom(seqid):
         nonlocal total_windows
+        import numpy as np
+
         nw = int((results[seqid][0] != 0).sum())
         total_windows += nw
         print(f"{seqid}: {nw} scored windows")
+        # NaN scores should be impossible (the kernels snap degenerate
+        # eigen-dust, scores are log-space-finite) — if a solver ever
+        # regresses to emitting them intermittently, say so loudly
+        # instead of letting a poisoned track flow into region calling
+        n_nan = int(np.isnan(results[seqid][0]).sum())
+        if n_nan:
+            print(
+                f"WARNING: {seqid}: {n_nan} NaN scores in the output "
+                "track — solver regression? (docs/PARITY.md deviation 8)",
+                file=sys.stderr,
+            )
         if parts_dir is not None:
             write_score_track(
                 parts_dir / _part_name(seqid),
@@ -314,15 +327,24 @@ def cmd_run_fet(args) -> None:
     )
 
 
+def _mds_enum(name):
+    """One shared --mds string->enum map for run-css AND run-all (a
+    divergent copy would break the byte-identical-pipelines contract
+    for exactly the added value)."""
+    from divergence_tpu.config import MdsAlgorithm
+
+    return {
+        "cmds": MdsAlgorithm.CMDS,
+        "smacof": MdsAlgorithm.SMACOF,
+        "cmds+smacof": MdsAlgorithm.CMDS_SMACOF,
+    }[name]
+
+
 def cmd_run_css(args) -> None:
     from divergence_tpu.config import CssConfig, MdsAlgorithm, WindowConfig
     from divergence_tpu.engine import run_css
 
-    mds = {
-        "cmds": MdsAlgorithm.CMDS,
-        "smacof": MdsAlgorithm.SMACOF,
-        "cmds+smacof": MdsAlgorithm.CMDS_SMACOF,
-    }[args.mds]
+    mds = _mds_enum(args.mds)
     if args.p_mode == "approx":
         # Measured round 4: the Pearson-III tail reads up to ~4x smaller
         # than the exact MC for true p <= 1e-3 (anti-conservative,
@@ -432,11 +454,7 @@ def cmd_run_all(args) -> None:
         engine_multi=run_fet_multi, preloaded=preloaded,
     )
 
-    mds = {
-        "cmds": MdsAlgorithm.CMDS,
-        "smacof": MdsAlgorithm.SMACOF,
-        "cmds+smacof": MdsAlgorithm.CMDS_SMACOF,
-    }[args.mds]
+    mds = _mds_enum(args.mds)
     css_cfg = CssConfig(
         window=wcfg,
         mc_threshold=args.mc_threshold,
@@ -458,6 +476,17 @@ def cmd_run_all(args) -> None:
         run_css, css_cfg, ("score", "p"),
         engine_multi=run_css_multi, preloaded=preloaded,
     )
+
+    # A user-supplied --summary used to be silently discarded (the
+    # per-engine stage_args override it); honor it with the combined
+    # per-engine summaries.
+    if getattr(args, "summary", None):
+        combined = {
+            name: json.loads((outdir / f"{name}_summary.json").read_text())
+            for name in ("fet", "css")
+        }
+        Path(args.summary).write_text(json.dumps(combined, indent=1) + "\n")
+        print(f"wrote {args.summary}")
 
     # Region thresholds are GENOME-WIDE statistics (the Burke limit's
     # score median, BH-FDR's rank over all windows — stats/regions.py),
