@@ -630,6 +630,7 @@ def test_run_all_matches_staged_pipeline(toy_vcf, tmp_path):
     (VERDICT r4 #6; RNG streams are (seed, chrom, slot)-pinned)."""
     tmp, vcf, sizes, anames, bnames = toy_vcf
     outdir = tmp_path / "all"
+    combined = tmp_path / "combined_summary.json"
     cli_main(
         [
             "run-all",
@@ -638,8 +639,17 @@ def test_run_all_matches_staged_pipeline(toy_vcf, tmp_path):
             "--outdir", str(outdir),
             "--chrom-sizes", str(sizes),
             "--mc-runs", "400",
+            "--summary", str(combined),
         ]
     )
+    # --summary was silently discarded before round 5's review fixes;
+    # it now carries both engines' summaries
+    import json
+
+    merged = json.loads(combined.read_text())
+    assert set(merged) == {"fet", "css"}
+    assert merged["fet"]["counters"]["windows_planned"] > 0
+    assert merged["css"]["counters"]["mc_permutations"] > 0
     # staged equivalents (fet.track/css.track exist from the pipeline
     # test; regenerate the region calls + report from those tracks)
     staged = tmp_path / "staged"
