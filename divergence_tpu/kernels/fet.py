@@ -276,7 +276,8 @@ def _onehot_pick_fits(B: int, S: int, P: int) -> bool:
     a large-padded-P geometry (sparse sampling, dense chromosomes) with
     the 4096-window slices would OOM where the element-at-a-time gather
     runs fine (round-5 review finding 3).  Production shapes (P=64-128,
-    S=100, B<=4096) sit ~2 orders below the bound."""
+    S=100, B<=4096) sit 2.6-5x below the bound — a dense chromosome
+    padding P to 512 legitimately crosses it and takes the gather."""
     return B * S * P <= (1 << 27)
 
 

@@ -248,14 +248,19 @@ def _run_engine(args, engine, cfg, columns, engine_multi=None,
         nw = int((results[seqid][0] != 0).sum())
         total_windows += nw
         print(f"{seqid}: {nw} scored windows")
-        # NaN scores should be impossible (the kernels snap degenerate
-        # eigen-dust, scores are log-space-finite) — if a solver ever
-        # regresses to emitting them intermittently, say so loudly
-        # instead of letting a poisoned track flow into region calling
-        n_nan = int(np.isnan(results[seqid][0]).sum())
+        # NaNs should be impossible in EITHER column (kernels snap
+        # degenerate eigen-dust, scores are log-space-finite, p comes
+        # from a counting estimator) — if a solver ever regresses to
+        # emitting them intermittently, say so loudly instead of letting
+        # a poisoned track flow into region calling (BH-FDR ranks the p
+        # column, so a NaN there corrupts the threshold silently)
+        n_nan = int(
+            np.isnan(results[seqid][0]).sum()
+            + np.isnan(results[seqid][1]).sum()
+        )
         if n_nan:
             print(
-                f"WARNING: {seqid}: {n_nan} NaN scores in the output "
+                f"WARNING: {seqid}: {n_nan} NaN values in the output "
                 "track — solver regression? (docs/PARITY.md deviation 8)",
                 file=sys.stderr,
             )
@@ -341,7 +346,7 @@ def _mds_enum(name):
 
 
 def cmd_run_css(args) -> None:
-    from divergence_tpu.config import CssConfig, MdsAlgorithm, WindowConfig
+    from divergence_tpu.config import CssConfig, WindowConfig
     from divergence_tpu.engine import run_css
 
     mds = _mds_enum(args.mds)
@@ -395,12 +400,7 @@ def cmd_run_all(args) -> None:
     tests/test_cli.py::test_run_all_matches_staged_pipeline)."""
     import argparse as _ap
 
-    from divergence_tpu.config import (
-        CssConfig,
-        FetConfig,
-        MdsAlgorithm,
-        WindowConfig,
-    )
+    from divergence_tpu.config import CssConfig, FetConfig, WindowConfig
     from divergence_tpu.engine import run_css, run_fet
     from divergence_tpu.engine.css_engine import run_css_multi
     from divergence_tpu.engine.fet_engine import run_fet_multi

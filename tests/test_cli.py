@@ -43,6 +43,41 @@ def toy_vcf(tmp_path_factory):
     vcf.write_text("\n".join(lines) + "\n")
     sizes = tmp / "chrom.sizes"
     sizes.write_text("chrT\t20000\n")
+    # Produce the shared artifacts (popA/popB gtracks, baseline fet/css
+    # tracks) at FIXTURE scope so every test is standalone-runnable —
+    # several tests compare against tmp/fet.track etc., and depending on
+    # test_cli_full_pipeline having run first broke any -k selection or
+    # reordering (round-5 review finding).  test_cli_full_pipeline
+    # re-runs the same commands; outputs are byte-identical overwrites.
+    cli_main(
+        [
+            "convert-vcf", "--vcf", str(vcf),
+            "--population", ",".join(anames),
+            "--out", str(tmp / "popA.gtrack"), "--genome", "toy",
+        ]
+    )
+    cli_main(
+        [
+            "convert-vcf", "--vcf", str(vcf),
+            "--population", ",".join(bnames),
+            "--out", str(tmp / "popB.gtrack"),
+        ]
+    )
+    cli_main(
+        [
+            "run-fet", "--pop-a", str(tmp / "popA.gtrack"),
+            "--pop-b", str(tmp / "popB.gtrack"),
+            "--out", str(tmp / "fet.track"), "--chrom-sizes", str(sizes),
+        ]
+    )
+    cli_main(
+        [
+            "run-css", "--pop-a", str(tmp / "popA.gtrack"),
+            "--pop-b", str(tmp / "popB.gtrack"),
+            "--out", str(tmp / "css.track"), "--chrom-sizes", str(sizes),
+            "--mc-runs", "2000", "--mc-chunk", "512",
+        ]
+    )
     return tmp, vcf, sizes, anames, bnames
 
 

@@ -368,3 +368,38 @@ def test_rank_path_bit_identical(rng):
                 perc=0.95, nsamples=40, fast=fast,
             ))
             assert (got_l == want_l).all()
+
+
+def test_pick_gather_fallback_matches_onehot(rng, monkeypatch):
+    """The large-B*S*P gather fallback for the bootstrap picks must be
+    bit-identical to the one-hot contraction (the gate is a pure memory
+    tradeoff; round-5 review asked for the branch to be CI-covered
+    rather than first exercised on a huge production chromosome)."""
+    import jax
+
+    from divergence_tpu.config import FetConfig, WindowConfig
+    from divergence_tpu.engine import run_fet
+    from divergence_tpu.engine.snp import SnpPair
+
+    npos, region = 600, 30_000
+    positions = np.sort(rng.choice(np.arange(1, region), npos, replace=False))
+    av = rng.choice([3.0, -3.0, 0.0, -10000.0], size=(npos, 5))
+    bv = rng.choice([3.0, -3.0, 0.0, -10000.0], size=(npos, 4))
+    cfg = FetConfig(window=WindowConfig(2500, 500), bootstrap_samples=8)
+    out = {}
+    for label, fits in (("onehot", True), ("gather", False)):
+        monkeypatch.setattr(kfet, "_onehot_pick_fits", lambda *a: fits)
+        jax.clear_caches()  # the gate is trace-time; force a retrace
+        pair = SnpPair(positions=positions, avals=av, bvals=bv)
+        for prec in ("exact", "fast"):
+            cfg_p = FetConfig(
+                window=cfg.window, bootstrap_samples=8, precision=prec
+            )
+            out[(label, prec)] = run_fet(pair, region, cfg_p)
+    monkeypatch.undo()
+    jax.clear_caches()
+    for prec in ("exact", "fast"):
+        s1, sd1 = out[("onehot", prec)]
+        s2, sd2 = out[("gather", prec)]
+        np.testing.assert_array_equal(np.asarray(s1), np.asarray(s2))
+        np.testing.assert_array_equal(np.asarray(sd1), np.asarray(sd2))
